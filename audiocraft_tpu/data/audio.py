@@ -1,0 +1,166 @@
+"""Audio IO: read/write with seek support.
+
+Parity: `audiocraft/data/audio.py:26-291`. The reference decodes via
+PyAV/soundfile and encodes via ffmpeg subprocess; none of those exist in this
+image, so the native WAV path is implemented directly on the RIFF format
+(16/24/32-bit PCM + float32, streaming seek reads without loading the whole
+file) and compressed formats raise a clear gating error. The data plane is
+host-side by design — decoding never touches the TPU.
+"""
+import struct
+import typing as tp
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from .audio_utils import f32_pcm, i16_pcm, normalize_audio
+
+_WAV_FORMATS = {1: "pcm", 3: "float", 0xFFFE: "extensible"}
+
+
+@dataclass(frozen=True)
+class AudioFileInfo:
+    """`audio.py:34-38`."""
+    sample_rate: int
+    duration: float
+    channels: int
+
+
+def _parse_wav_header(f) -> tp.Tuple[int, int, int, int, int, int]:
+    """Return (sample_rate, channels, bits, audio_format, data_offset, data_size)."""
+    riff = f.read(12)
+    if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+        raise ValueError("Not a RIFF/WAVE file")
+    fmt = None
+    while True:
+        header = f.read(8)
+        if len(header) < 8:
+            raise ValueError("Malformed WAV: missing data chunk")
+        chunk_id, size = header[:4], struct.unpack("<I", header[4:])[0]
+        if chunk_id == b"fmt ":
+            fmt = f.read(size)
+            if size % 2:
+                f.read(1)
+        elif chunk_id == b"data":
+            if fmt is None:
+                raise ValueError("Malformed WAV: data before fmt")
+            audio_format, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", fmt[:16])
+            if audio_format == 0xFFFE and len(fmt) >= 40:
+                audio_format = struct.unpack("<H", fmt[24:26])[0]
+            return sample_rate, channels, bits, audio_format, f.tell(), size
+        else:
+            f.seek(size + (size % 2), 1)
+
+
+def audio_info(filepath: tp.Union[str, Path]) -> AudioFileInfo:
+    """File metadata without decoding (`audio.py:44-69`)."""
+    filepath = Path(filepath)
+    if filepath.suffix.lower() != ".wav":
+        raise RuntimeError(
+            f"Cannot read {filepath.suffix} without ffmpeg/pyav; only WAV is "
+            "supported in this environment.")
+    with open(filepath, "rb") as f:
+        sample_rate, channels, bits, _, _, data_size = _parse_wav_header(f)
+        frames = data_size // (channels * (bits // 8))
+        return AudioFileInfo(sample_rate, frames / sample_rate, channels)
+
+
+def audio_read(filepath: tp.Union[str, Path], seek_time: float = 0.0,
+               duration: float = -1.0, pad: bool = False
+               ) -> tp.Tuple[np.ndarray, int]:
+    """Read audio (WAV) with seek, returning ([C, T] float32, sample_rate)
+    (`audio.py:116-145`). Reads only the requested byte range."""
+    filepath = Path(filepath)
+    if filepath.suffix.lower() != ".wav":
+        raise RuntimeError(
+            f"Cannot decode {filepath.suffix} without ffmpeg/pyav; only WAV is "
+            "supported in this environment.")
+    with open(filepath, "rb") as f:
+        sample_rate, channels, bits, audio_format, offset, data_size = \
+            _parse_wav_header(f)
+        bytes_per_frame = channels * (bits // 8)
+        total_frames = data_size // bytes_per_frame
+        start = int(seek_time * sample_rate) if seek_time else 0
+        start = min(start, total_frames)
+        num = total_frames - start
+        if duration > 0:
+            num = min(num, int(duration * sample_rate))
+        f.seek(offset + start * bytes_per_frame)
+        raw = f.read(num * bytes_per_frame)
+    num = len(raw) // bytes_per_frame
+    if bits == 16:
+        data = np.frombuffer(raw, dtype="<i2", count=num * channels)
+        wav = f32_pcm(data)
+    elif bits == 32 and audio_format == 3:
+        wav = np.frombuffer(raw, dtype="<f4", count=num * channels).astype(np.float32)
+    elif bits == 32:
+        data = np.frombuffer(raw, dtype="<i4", count=num * channels)
+        wav = f32_pcm(data)
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8, count=num * channels * 3)
+        b = b.reshape(-1, 3)
+        vals = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        wav = (vals / (1 << 23)).astype(np.float32)
+    else:
+        raise ValueError(f"Unsupported WAV bit depth: {bits}")
+    wav = wav.reshape(-1, channels).T.copy()  # [C, T]
+    if duration > 0:
+        expected_frames = int(duration * sample_rate)
+        if pad and wav.shape[-1] < expected_frames:
+            wav = np.pad(wav, ((0, 0), (0, expected_frames - wav.shape[-1])))
+    return wav, sample_rate
+
+
+def _write_wav(path: Path, wav: np.ndarray, sample_rate: int):
+    """Write int16 PCM WAV. wav: [C, T] float32 in [-1, 1]."""
+    pcm = i16_pcm(wav).T  # [T, C] interleaved
+    data = pcm.astype("<i2").tobytes()
+    channels = pcm.shape[1] if pcm.ndim > 1 else 1
+    byte_rate = sample_rate * channels * 2
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                            byte_rate, channels * 2, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data)))
+        f.write(data)
+
+
+def audio_write(stem_name: tp.Union[str, Path], wav, sample_rate: int,
+                format: str = "wav", normalize: bool = True,
+                strategy: str = "peak", peak_clip_headroom_db: float = 1.0,
+                rms_headroom_db: float = 18.0, loudness_headroom_db: float = 14.0,
+                loudness_compressor: bool = False, log_clipping: bool = True,
+                make_parent_dir: bool = True,
+                add_suffix: bool = True) -> Path:
+    """Normalize + write audio (`audio.py:147-232`). wav: [C, T] or [T]."""
+    wav = np.asarray(wav, np.float32)
+    if wav.ndim == 1:
+        wav = wav[None]
+    elif wav.ndim != 2:
+        raise ValueError("Input wav should be at most 2 dimension.")
+    assert np.isfinite(wav).all()
+    wav = normalize_audio(wav, normalize, strategy, peak_clip_headroom_db,
+                          rms_headroom_db, loudness_headroom_db,
+                          loudness_compressor, log_clipping=log_clipping,
+                          sample_rate=sample_rate, stem_name=str(stem_name))
+    if format != "wav":
+        raise RuntimeError(f"Invalid format {format}: only wav is supported "
+                           "without ffmpeg in this environment.")
+    suffix = "." + format
+    path = Path(str(stem_name) + suffix) if add_suffix else Path(stem_name)
+    if make_parent_dir:
+        path.parent.mkdir(exist_ok=True, parents=True)
+    try:
+        _write_wav(path, wav, sample_rate)
+    except Exception:
+        if path.exists():
+            path.unlink()
+        raise
+    return path

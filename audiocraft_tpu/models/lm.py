@@ -1,0 +1,514 @@
+"""Multi-codebook transformer language model + TPU-compiled AR generation.
+
+Parity: `audiocraft/models/lm.py:120-587` (per-codebook embeddings summed at
+input, per-codebook heads, special token = card, ConditionFuser integration,
+depthwise init, CFG variants incl. double-CFG, pattern-aware token-by-token
+decode with prompt retention).
+
+TPU-first design:
+  * Embeddings/heads are stacked params `[K, card+1, dim]` / `[K, dim, card]`
+    — one gather-sum and one einsum instead of K module calls.
+  * `generate` compiles to: one prefill forward + one `lax.scan` over decode
+    steps with static shapes (fixed-size KV caches, masked writes from the
+    host-precomputed pattern index tables). The reference's per-token Python
+    loop (`lm.py:540`) disappears.
+  * CFG runs fused in the batch dimension (cond/uncond[(/style)] stacked),
+    including the MusicGen-Style double CFG (3x batch, `lm.py:355-377`).
+"""
+import dataclasses
+import logging
+import math
+import typing as tp
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..modules.conditioners import (AttributeDropout, BaseConditioner,
+                                    ClassifierFreeGuidanceDropout,
+                                    ConditionFuser, ConditioningAttributes,
+                                    ConditioningProvider, ConditionType,
+                                    drop_description_condition)
+from ..modules.patterns import CodebooksPatternProvider
+from ..modules.transformer import LayerCache, StreamingTransformer
+from ..utils.utils import sample_tokens
+
+logger = logging.getLogger(__name__)
+ConditionTensors = tp.Dict[str, ConditionType]
+
+
+@struct.dataclass
+class LMOutput:
+    """Logits re-aligned with input codes (`lm.py:113-118`)."""
+    logits: jax.Array  # [B, K, T, card]
+    mask: jax.Array    # [B, K, T]
+
+
+def _trunc_normal_init(std: float):
+    def init(key, shape, dtype):
+        return std * jax.random.truncated_normal(key, -3.0, 3.0, shape, jnp.float32) \
+            .astype(dtype)
+    return init
+
+
+def get_init_fn(method: str, input_dim: int, init_depth: tp.Optional[int] = None):
+    """LM init (`lm.py:37-63`): std = 1/sqrt(input_dim), depth-rescaled."""
+    std = 1 / math.sqrt(input_dim)
+    if init_depth is not None:
+        std = std / math.sqrt(2 * init_depth)
+    if method == "gaussian":
+        return _trunc_normal_init(std)
+    elif method == "uniform":
+        bound = math.sqrt(3) * std
+        return lambda key, shape, dtype: jax.random.uniform(
+            key, shape, dtype, -bound, bound)
+    raise ValueError("Unsupported layer initialization method")
+
+
+class LMModel(nn.Module):
+    """Transformer LM over multiple code streams (`lm.py:120-321`)."""
+    pattern_provider: CodebooksPatternProvider
+    conditioners: tp.Dict[str, BaseConditioner]
+    fuser: ConditionFuser
+    n_q: int = 8
+    card: int = 1024
+    dim: int = 128
+    num_heads: int = 8
+    hidden_scale: int = 4
+    norm_first: bool = False
+    bias_proj: bool = True
+    weight_init: tp.Optional[str] = None
+    depthwise_init: tp.Optional[str] = None
+    zero_bias_init: bool = False
+    cfg_coef: float = 1.0
+    two_step_cfg: bool = False
+    # transformer kwargs
+    num_layers: int = 8
+    dropout: float = 0.0
+    attention_dropout: tp.Optional[float] = None
+    bias_ff: bool = True
+    bias_attn: bool = True
+    causal: bool = True
+    past_context: tp.Optional[int] = None
+    attention_as_float32: bool = False
+    layer_scale: tp.Optional[float] = None
+    positional_embedding: str = "sin"
+    xpos: bool = False
+    checkpointing: str = "none"
+    cross_attention: bool = False
+    qk_layer_norm: bool = False
+    qk_layer_norm_cross: bool = False
+    kv_repeat: int = 1
+    activation: str = "gelu"
+    dtype: tp.Any = jnp.float32
+    param_dtype: tp.Any = jnp.float32
+
+    @property
+    def special_token_id(self) -> int:
+        return self.card
+
+    @property
+    def num_codebooks(self) -> int:
+        return self.n_q
+
+    def setup(self):
+        embed_dim = self.card + 1
+        emb_init = (get_init_fn(self.weight_init, self.dim, None)
+                    if self.weight_init else
+                    nn.initializers.normal(1.0))
+        # stacked per-codebook embedding tables (`lm.py:164` ScaledEmbedding xK)
+        self.emb = self.param("emb", emb_init, (self.n_q, embed_dim, self.dim),
+                              self.param_dtype)
+        self.condition_provider = ConditioningProvider(self.conditioners)
+        self.transformer = StreamingTransformer(
+            d_model=self.dim, num_heads=self.num_heads,
+            num_layers=self.num_layers,
+            dim_feedforward=int(self.hidden_scale * self.dim),
+            dropout=self.dropout, attention_dropout=self.attention_dropout,
+            use_bias_ff=self.bias_ff, use_bias_attn=self.bias_attn,
+            causal=self.causal, past_context=self.past_context,
+            attention_as_float32=self.attention_as_float32,
+            cross_attention=self.cross_attention,
+            layer_scale=self.layer_scale,
+            positional_embedding=self.positional_embedding, xpos=self.xpos,
+            qk_layer_norm=self.qk_layer_norm,
+            qk_layer_norm_cross=self.qk_layer_norm_cross,
+            kv_repeat=self.kv_repeat, norm_first=self.norm_first,
+            activation=self.activation, checkpointing=self.checkpointing,
+            dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.norm_first:
+            self.out_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                         param_dtype=self.param_dtype)
+        head_init = (get_init_fn(self.weight_init, self.dim, None)
+                     if self.weight_init else
+                     nn.initializers.lecun_normal())
+        # stacked per-codebook output heads (`lm.py:177`)
+        self.linears = self.param("linears", head_init,
+                                  (self.n_q, self.dim, self.card),
+                                  self.param_dtype)
+        if self.bias_proj:
+            self.linears_bias = self.param("linears_bias", nn.initializers.zeros,
+                                           (self.n_q, self.card), self.param_dtype)
+
+    def embed_codes(self, sequence: jax.Array) -> jax.Array:
+        """sum_k emb[k][seq[:, k]] (`lm.py:244`). sequence [B, K, S] -> [B, S, D]."""
+        emb = self.emb.astype(self.dtype)  # [K, V, D]
+        gathered = jnp.take_along_axis(emb[None], sequence[..., None], axis=2)
+        return jnp.sum(gathered, axis=1)  # [B, K, S, D] -> [B, S, D]
+
+    def compute_conditions(self, tokenized: tp.Dict[str, tp.Any]) -> ConditionTensors:
+        """Device forward of the conditioning provider."""
+        return self.condition_provider(tokenized)
+
+    def __call__(self, sequence: jax.Array,
+                 condition_tensors: ConditionTensors,
+                 caches: tp.Optional[tp.List[LayerCache]] = None,
+                 attn_bias: tp.Optional[jax.Array] = None,
+                 first_step: bool = True,
+                 deterministic: bool = True,
+                 ) -> tp.Tuple[jax.Array, tp.Optional[tp.List[LayerCache]]]:
+        """sequence [B, K, S] -> logits [B, K, S, card] (`lm.py:221-269`)."""
+        B, K, S = sequence.shape
+        assert K == self.num_codebooks
+        input_ = self.embed_codes(sequence)
+        input_, cross_attention_input = self.fuser(input_, condition_tensors,
+                                                   first_step=first_step)
+        out, caches = self.transformer(
+            input_, cross_attention_src=cross_attention_input,
+            caches=caches, attn_bias=attn_bias, deterministic=deterministic)
+        if self.norm_first:
+            out = self.out_norm(out)
+        # [B, S', D] x [K, D, card] -> [B, K, S', card]
+        logits = jnp.einsum("bsd,kdc->bksc", out,
+                            self.linears.astype(out.dtype))
+        if self.bias_proj:
+            logits = logits + self.linears_bias.astype(logits.dtype)[None, :, None, :]
+        # remove the prepended-conditions prefix (`lm.py:266-267`)
+        if self.fuser.has_prepend and first_step:
+            logits = logits[:, :, -S:]
+        return logits, caches
+
+    def precompute_cross_kv(self, src: jax.Array, caches: tp.List[LayerCache]):
+        return self.transformer.precompute_cross_kv(src, caches)
+
+    def init_all(self, sequence: jax.Array, tokenized: tp.Dict[str, tp.Any]):
+        """Init path touching every submodule (conditioners + trunk)."""
+        condition_tensors = self.compute_conditions(tokenized)
+        return self(sequence, condition_tensors)
+
+    def compute_predictions(self, codes: jax.Array,
+                            condition_tensors: ConditionTensors,
+                            attn_bias: tp.Optional[jax.Array] = None,
+                            keep_only_valid_steps: bool = True,
+                            deterministic: bool = True) -> LMOutput:
+        """Pattern-interleaved training forward (`lm.py:270-321`):
+        codes [B, K, T] -> logits [B, K, T, card] aligned with codes."""
+        B, K, T = codes.shape
+        pattern = self.pattern_provider.get_pattern(T)
+        sequence_codes, _, _ = pattern.build_pattern_sequence(
+            codes, self.special_token_id, keep_only_valid_steps=keep_only_valid_steps)
+        logits, _ = self(sequence_codes, condition_tensors, attn_bias=attn_bias,
+                         deterministic=deterministic)
+        logits = logits.transpose(0, 3, 1, 2)  # [B, card, K, S]
+        logits, _, logits_mask = pattern.revert_pattern_logits(
+            logits, float("nan"), keep_only_valid_steps=keep_only_valid_steps)
+        logits = logits.transpose(0, 2, 3, 1)  # [B, K, T, card]
+        logits_mask = jnp.broadcast_to(jnp.asarray(logits_mask)[None], (B, K, T))
+        return LMOutput(logits, logits_mask)
+
+
+# --------------------------------------------------------------- generation
+
+@dataclasses.dataclass(frozen=True)
+class GenParams:
+    """Sampling/CFG hyperparameters (`lm.py:423-433`).
+
+    Note: `two_step_cfg` is accepted for API parity but runs through the same
+    batched-CFG program — under static masking the two formulations produce
+    identical paddings, so there is no separate two-pass path.
+    """
+    use_sampling: bool = True
+    temp: float = 1.0
+    top_k: int = 250
+    top_p: float = 0.0
+    cfg_coef: tp.Optional[float] = None
+    cfg_coef_beta: tp.Optional[float] = None
+    two_step_cfg: tp.Optional[bool] = None
+
+
+def init_lm_cache(model: LMModel, batch: int, max_len: int,
+                  dtype=None) -> tp.List[LayerCache]:
+    """Fresh empty per-layer KV caches for `batch` sequences of `max_len`."""
+    from ..modules.transformer import KVCache
+    num_kv = model.num_heads // model.kv_repeat
+    head_dim = model.dim // model.num_heads
+    dtype = dtype or model.dtype
+    return [LayerCache(self_attn=KVCache.create(batch, max_len, num_kv,
+                                                head_dim, dtype))
+            for _ in range(model.num_layers)]
+
+
+def tokenize_conditions(model: LMModel,
+                        conditions: tp.List[ConditioningAttributes]):
+    """Host-side tokenization through the provider (no params needed)."""
+    return ConditioningProvider(model.conditioners).tokenize(conditions)
+
+
+def prepare_cfg_conditions(model: LMModel, params,
+                           conditions: tp.List[ConditioningAttributes],
+                           cfg_coef_beta: tp.Optional[float] = None,
+                           ) -> ConditionTensors:
+    """Fused CFG condition tensors (`lm.py:483-513`): cond + null stacked in
+    the batch dim (cond + wav-only + null for double CFG)."""
+    if not conditions:
+        return {}
+    if cfg_coef_beta is not None:
+        wav_conditions = drop_description_condition(conditions)
+        null_conditions = ClassifierFreeGuidanceDropout(p=1.0)(conditions)
+        all_conditions = conditions + wav_conditions + null_conditions
+    else:
+        null_conditions = ClassifierFreeGuidanceDropout(p=1.0)(conditions)
+        all_conditions = conditions + null_conditions
+    tokenized = tokenize_conditions(model, all_conditions)
+    return model.apply(params, tokenized, method=LMModel.compute_conditions)
+
+
+def _combine_cfg_logits(all_logits: jax.Array, B: int, cfg_coef: float,
+                        cfg_coef_beta: tp.Optional[float]) -> jax.Array:
+    """CFG combinations (`lm.py:355-401`)."""
+    if cfg_coef_beta is not None:
+        cond_logits = all_logits[:B]
+        wav_logits = all_logits[B:2 * B]
+        uncond_logits = all_logits[2 * B:]
+        return uncond_logits + cfg_coef * (
+            wav_logits + cfg_coef_beta * (cond_logits - wav_logits) - uncond_logits)
+    cond_logits, uncond_logits = all_logits[:B], all_logits[B:]
+    return uncond_logits + (cond_logits - uncond_logits) * cfg_coef
+
+
+_GEN_JIT_CACHE: tp.Dict[tp.Any, tp.Any] = {}
+
+
+def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
+                   B: int, gen: GenParams, cfg_coef: float, cache_dtype,
+                   cond_struct: tp.Tuple):
+    """Build (and cache) the jitted prefill+scan program for one shape bucket."""
+    key = (id(model), S, start, cfg_mult, B, gen, str(cache_dtype), cond_struct)
+    if key in _GEN_JIT_CACHE:
+        return _GEN_JIT_CACHE[key]
+
+    unknown_token = -1
+    special = model.special_token_id
+    cfg_coef_beta = gen.cfg_coef_beta
+    # pattern index tables are host constants baked into the program
+    _, seq_mask_np = pattern._build_pattern_sequence_scatter_indexes(
+        pattern.timesteps, model.n_q, keep_only_valid_steps=False)
+
+    def run(params, rng, gen_sequence, condition_tensors):
+        seq_mask = jnp.asarray(seq_mask_np)  # [K, S]
+        prepend_len = 0
+        if model.fuser.has_prepend and condition_tensors:
+            prepend_len = sum(condition_tensors[name][0].shape[1]
+                              for name in model.fuser.fuse2cond.get("prepend", [])
+                              if name in condition_tensors)
+        caches = init_lm_cache(model, cfg_mult * B, S + prepend_len, cache_dtype)
+
+        if model.cross_attention and condition_tensors:
+            cross_src = None
+            for name in model.fuser.fuse2cond.get("cross", []):
+                if name in condition_tensors:
+                    c = condition_tensors[name][0]
+                    cross_src = c if cross_src is None else jnp.concatenate(
+                        [cross_src, c], axis=1)
+            if cross_src is not None:
+                caches = model.apply(params, cross_src.astype(cache_dtype),
+                                     caches, method=LMModel.precompute_cross_kv)
+
+        def fwd(seq_chunk, caches, first_step):
+            seq_in = (jnp.concatenate([seq_chunk] * cfg_mult, axis=0)
+                      if cfg_mult > 1 else seq_chunk)
+            all_logits, caches = model.apply(
+                params, seq_in, condition_tensors, caches=caches,
+                first_step=first_step)
+            if cfg_mult > 1:
+                logits = _combine_cfg_logits(all_logits, B, cfg_coef, cfg_coef_beta)
+            else:
+                logits = all_logits
+            return logits, caches
+
+        def sample_step(rng, logits_last, offset):
+            next_token = sample_tokens(
+                rng, logits_last, use_sampling=gen.use_sampling, temp=gen.temp,
+                top_k=gen.top_k, top_p=gen.top_p)[..., 0]  # [B, K]
+            valid = jax.lax.dynamic_slice_in_dim(seq_mask, offset, 1, axis=1)[:, 0]
+            return jnp.where(valid[None, :], next_token, special).astype(jnp.int32)
+
+        # ---- prefill: feed steps [0, start), sample step `start`
+        rng, r0 = jax.random.split(rng)
+        logits, caches = fwd(gen_sequence[..., :start], caches, True)
+        next_token = sample_step(r0, logits[:, :, -1], start)
+        cur = gen_sequence[..., start]
+        gen_sequence = gen_sequence.at[..., start].set(
+            jnp.where(cur == unknown_token, next_token, cur))
+
+        # ---- scan decode over offsets [start+1, S)
+        def step(carry, offset):
+            gen_sequence, caches, rng = carry
+            rng, r = jax.random.split(rng)
+            tok = jax.lax.dynamic_slice_in_dim(gen_sequence, offset - 1, 1, axis=2)
+            logits, caches = fwd(tok, caches, False)
+            next_token = sample_step(r, logits[:, :, -1], offset)
+            cur = jax.lax.dynamic_slice_in_dim(gen_sequence, offset, 1,
+                                               axis=2)[..., 0]
+            write = jnp.where(cur == unknown_token, next_token, cur)
+            gen_sequence = jax.lax.dynamic_update_slice_in_dim(
+                gen_sequence, write[..., None], offset, axis=2)
+            return (gen_sequence, caches, rng), None
+
+        offsets = jnp.arange(start + 1, S)
+        if S > start + 1:
+            (gen_sequence, caches, rng), _ = jax.lax.scan(
+                step, (gen_sequence, caches, rng), offsets)
+
+        # masked positions must hold the special token (`lm.py:559-575`)
+        gen_sequence = jnp.where(seq_mask[None], gen_sequence, special)
+        return gen_sequence
+
+    fn = jax.jit(run)
+    _GEN_JIT_CACHE[key] = fn
+    return fn
+
+
+def generate(model: LMModel, params, rng: jax.Array,
+             prompt: tp.Optional[jax.Array] = None,
+             conditions: tp.List[ConditioningAttributes] = [],
+             condition_tensors: tp.Optional[ConditionTensors] = None,
+             num_samples: tp.Optional[int] = None,
+             max_gen_len: int = 256,
+             gen: GenParams = GenParams(),
+             cache_dtype=None,
+             check: bool = False) -> jax.Array:
+    """AR generation (`lm.py:420-587`): prefill + scan, CFG in batch dim.
+
+    Returns codes [B, K, max_gen_len] with the prompt retained.
+    """
+    possible_num_samples = []
+    if num_samples is not None:
+        possible_num_samples.append(num_samples)
+    elif prompt is not None:
+        possible_num_samples.append(prompt.shape[0])
+    elif conditions:
+        possible_num_samples.append(len(conditions))
+    else:
+        possible_num_samples.append(1)
+    assert all(x == possible_num_samples[0] for x in possible_num_samples), \
+        "Inconsistent inputs shapes"
+    num_samples = possible_num_samples[0]
+
+    cfg_coef = model.cfg_coef if gen.cfg_coef is None else gen.cfg_coef
+    if condition_tensors is None:
+        condition_tensors = prepare_cfg_conditions(
+            model, params, conditions, cfg_coef_beta=gen.cfg_coef_beta)
+
+    K = model.num_codebooks
+    if prompt is None:
+        assert num_samples > 0
+        prompt = jnp.zeros((num_samples, K, 0), jnp.int32)
+    B, K, T = prompt.shape
+    start_offset = T
+    assert start_offset < max_gen_len
+
+    pattern = model.pattern_provider.get_pattern(max_gen_len)
+    unknown_token = -1
+    special = model.special_token_id
+
+    gen_codes = jnp.full((B, K, max_gen_len), unknown_token, jnp.int32)
+    if T > 0:
+        gen_codes = gen_codes.at[..., :T].set(prompt.astype(jnp.int32))
+    gen_sequence, _, _ = pattern.build_pattern_sequence(gen_codes, special)
+    S = gen_sequence.shape[-1]
+    start = pattern.get_first_step_with_timesteps(start_offset)
+    assert start is not None
+
+    cfg_mult = 1
+    if condition_tensors:
+        cfg_mult = 3 if gen.cfg_coef_beta is not None else 2
+    cache_dtype = cache_dtype or model.dtype
+    cond_struct = tuple(sorted(
+        (k, tuple(v[0].shape)) for k, v in condition_tensors.items()))
+
+    fn = _get_decode_fn(model, pattern, S, start, cfg_mult, B, gen,
+                        float(cfg_coef), cache_dtype, cond_struct)
+    gen_sequence = fn(params, rng, gen_sequence, condition_tensors)
+
+    out_codes, _, out_mask = pattern.revert_pattern_sequence(
+        gen_sequence, special_token=unknown_token)
+    if check:
+        oc = np.asarray(out_codes[..., :max_gen_len])
+        assert (oc != unknown_token).all()
+        assert (oc >= 0).all() and (oc <= special).all()
+    return out_codes[..., :max_gen_len]
+
+
+# ------------------------------------------------------------ initialization
+
+def init_lm_params(model: LMModel, rng: jax.Array, seq_len: int = 8):
+    """Initialize all LM params, applying the reference's weight-init policy
+    (`lm.py:179-211`: gaussian/uniform with optional depthwise rescale and
+    zero bias init)."""
+    text_conds = [k for k, v in model.conditioners.items()
+                  if hasattr(v, "tokenize")]
+    attrs = [ConditioningAttributes(text={name: "init" for name in text_conds})]
+    tokenized = tokenize_conditions(model, attrs)
+    seq = jnp.zeros((1, model.n_q, seq_len), jnp.int32)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init(init_rng, seq, tokenized, method=LMModel.init_all)
+    if model.weight_init is not None:
+        params = apply_lm_weight_init(model, params, rng)
+    return params
+
+
+def apply_lm_weight_init(model: LMModel, params, rng: jax.Array):
+    """Re-init matching the reference `_init_weights` (`lm.py:179-211`):
+    every Linear kernel gets init std 1/sqrt(fan_in), rescaled by
+    sqrt(2*depth) inside transformer layers (depthwise 'current' uses the
+    layer index, 'global' the total layer count); embeddings use
+    std 1/sqrt(dim); biases zeroed when `zero_bias_init`."""
+    assert model.depthwise_init in (None, "current", "global")
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    rngs = jax.random.split(rng, len(flat))
+    new_leaves = []
+    for (path, leaf), lrng in zip(flat, rngs):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        spath = "/".join(str(n) for n in names)
+        depth = None
+        if "transformer" in spath and model.depthwise_init is not None:
+            for n in names:
+                if isinstance(n, str) and n.startswith("layers_"):
+                    idx = int(n.split("_")[1])
+                    depth = (idx + 1 if model.depthwise_init == "current"
+                             else model.num_layers)
+        is_bias = names[-1] in ("bias", "in_proj_bias", "linears_bias", "b_ih", "b_hh")
+        is_norm = any("norm" in str(n) for n in names) or names[-1] in ("scale",)
+        if is_norm or "conditioners" in spath:
+            new_leaves.append(leaf)
+            continue
+        if is_bias:
+            new_leaves.append(jnp.zeros_like(leaf) if model.zero_bias_init else leaf)
+            continue
+        if names[-1] == "emb":  # [K, V, D]: embedding init, input_dim = D
+            init_fn = get_init_fn(model.weight_init, leaf.shape[-1], None)
+            new_leaves.append(init_fn(lrng, leaf.shape, leaf.dtype))
+        elif names[-1] == "linears":  # heads [K, D, card]
+            init_fn = get_init_fn(model.weight_init, leaf.shape[1], None)
+            new_leaves.append(init_fn(lrng, leaf.shape, leaf.dtype))
+        elif names[-1] in ("kernel", "in_proj_weight") and leaf.ndim >= 2:
+            init_fn = get_init_fn(model.weight_init, leaf.shape[0], depth)
+            new_leaves.append(init_fn(lrng, leaf.shape, leaf.dtype))
+        else:
+            new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -1,0 +1,99 @@
+"""MusicGen: text (and melody) conditioned music generation.
+
+Parity: `audiocraft/models/musicgen.py:40-338` — defaults (duration 15s,
+top_k 250, cfg 3.0), style params, generation params plumbing, melody
+conditioning API surface, HF checkpoint name map, extend_stride windowing.
+"""
+import logging
+import typing as tp
+
+import jax.numpy as jnp
+
+from .genmodel import BaseGenModel
+from .lm import LMModel
+
+logger = logging.getLogger(__name__)
+
+# Reference HF checkpoint map (`musicgen.py:31-37`)
+HF_MODEL_CHECKPOINTS_MAP = {
+    "small": "facebook/musicgen-small",
+    "medium": "facebook/musicgen-medium",
+    "large": "facebook/musicgen-large",
+    "melody": "facebook/musicgen-melody",
+    "style": "facebook/musicgen-style",
+    "stereo-small": "facebook/musicgen-stereo-small",
+    "stereo-medium": "facebook/musicgen-stereo-medium",
+    "stereo-large": "facebook/musicgen-stereo-large",
+    "stereo-melody": "facebook/musicgen-stereo-melody",
+}
+
+MelodyType = tp.Any  # [B, C, T] waveform or chroma
+
+
+class MusicGen(BaseGenModel):
+    """Text/melody -> music (`musicgen.py:40-338`)."""
+
+    def __init__(self, name, compression_model, compression_variables, lm,
+                 lm_params, max_duration=None, cfg=None):
+        super().__init__(name, compression_model, compression_variables,
+                         lm, lm_params, max_duration=max_duration, cfg=cfg)
+        # reference defaults (`musicgen.py:54,96-100`)
+        self.set_generation_params(duration=15)
+
+    @staticmethod
+    def get_pretrained(name: str = "facebook/musicgen-melody", **kwargs) -> "MusicGen":
+        """Load a pretrained or debug MusicGen (`musicgen.py:56-94`)."""
+        from . import loaders
+        if name == "debug":
+            from . import builders
+            compression_model, compression_vars = \
+                builders.get_debug_compression_model()
+            lm, lm_params = builders.get_debug_lm_model()
+            return MusicGen(name, compression_model, compression_vars,
+                            lm, lm_params, max_duration=30)
+        name = HF_MODEL_CHECKPOINTS_MAP.get(name, name)
+        compression_model, compression_vars = loaders.load_compression_model(name)
+        lm, lm_params, model_cfg = loaders.load_lm_model(name)
+        if "self_wav" in lm.conditioners:
+            # melody models must keep the wav condition during generation
+            object.__setattr__(lm.conditioners["self_wav"], "match_len_on_eval", True)
+        return MusicGen(name, compression_model, compression_vars, lm,
+                        lm_params, cfg=model_cfg)
+
+    def set_generation_params(self, use_sampling: bool = True, top_k: int = 250,
+                              top_p: float = 0.0, temperature: float = 1.0,
+                              duration: float = 30.0, cfg_coef: float = 3.0,
+                              cfg_coef_beta: tp.Optional[float] = None,
+                              two_step_cfg: bool = False,
+                              extend_stride: float = 18):
+        """`musicgen.py:96-134`."""
+        assert extend_stride < self.max_duration, \
+            "Cannot stride by more than max generation duration."
+        self.extend_stride = extend_stride
+        self.duration = duration
+        self.generation_params = {
+            "use_sampling": use_sampling,
+            "temp": temperature,
+            "top_k": top_k,
+            "top_p": top_p,
+            "cfg_coef": cfg_coef,
+            "cfg_coef_beta": cfg_coef_beta,
+            "two_step_cfg": two_step_cfg,
+        }
+
+    def set_style_conditioner_params(self, eval_q: int = 3,
+                                     excerpt_length: float = 3.0,
+                                     ds_factor: tp.Optional[int] = None,
+                                     encodec_n_q: tp.Optional[int] = None):
+        """MusicGen-Style conditioner knobs (`musicgen.py:136-153`).
+        Requires a style conditioner (round 2: StyleConditioner port)."""
+        assert "self_wav" in self.lm.conditioners, \
+            "This method only works with MusicGen-Style"
+        raise NotImplementedError("StyleConditioner is not yet ported")
+
+    def generate_with_chroma(self, descriptions: tp.List[str],
+                             melody_wavs: MelodyType, melody_sample_rate: int,
+                             progress: bool = False, return_tokens: bool = False):
+        """Melody-conditioned generation (`musicgen.py:155-191`).
+        Requires the chroma conditioner (round 2: ChromaStemConditioner port)."""
+        raise NotImplementedError("ChromaStemConditioner is not yet ported")

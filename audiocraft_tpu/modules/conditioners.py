@@ -1,0 +1,539 @@
+"""Conditioning subsystem: attributes, tokenizers, conditioners, provider,
+fuser, and CFG/attribute dropouts.
+
+Parity: `audiocraft/modules/conditioners.py:40-1763` (see docs/CONDITIONING.md
+in the reference). Covered here: condition data types + nullify helpers,
+WhiteSpace/Noop tokenizers, LUTConditioner, T5Conditioner (native JAX T5
+encoder from `modules/t5.py`), ConditioningProvider, ConditionFuser
+(sum/prepend/cross/ignore/input_interpolate), AttributeDropout and
+ClassifierFreeGuidanceDropout.
+
+TPU-first split: everything string/list-shaped (tokenize, dropouts, collate)
+is host-side numpy; `ConditioningProvider.__call__` is the only device step
+and returns dense `(embedding [B,T,D], mask [B,T])` pairs that jit cleanly.
+
+Divergence (documented): the reference's WhiteSpaceTokenizer lemmatizes with
+spaCy and expands numbers with num2words (`conditioners.py:247-313`); neither
+is in this image, so we normalize with lowercase/punctuation-strip only. The
+hash-trick vocabulary is preserved.
+"""
+import dataclasses
+import logging
+import re
+import typing as tp
+from collections import defaultdict
+from copy import deepcopy
+from itertools import chain
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.utils import hash_trick, length_to_mask
+from .transformer import create_sin_embedding
+
+logger = logging.getLogger(__name__)
+TextCondition = tp.Optional[str]
+# condition, mask — embedding [B, T, D] and validity mask [B, T]
+ConditionType = tp.Tuple[jax.Array, jax.Array]
+
+
+class WavCondition(tp.NamedTuple):
+    """Reference `conditioners.py:55-61`. wav: [B, C, T] host array."""
+    wav: np.ndarray
+    length: np.ndarray
+    sample_rate: tp.List[int]
+    path: tp.List[tp.Optional[str]] = []
+    seek_time: tp.List[tp.Optional[float]] = []
+
+
+class JointEmbedCondition(tp.NamedTuple):
+    wav: np.ndarray
+    text: tp.List[tp.Optional[str]]
+    length: np.ndarray
+    sample_rate: tp.List[int]
+    path: tp.List[tp.Optional[str]] = []
+    seek_time: tp.List[tp.Optional[float]] = []
+
+
+class SymbolicCondition(tp.NamedTuple):
+    frame_chords: tp.Optional[np.ndarray] = None
+    melody: tp.Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class ConditioningAttributes:
+    """Reference `conditioners.py:78-124`."""
+    text: tp.Dict[str, tp.Optional[str]] = dataclasses.field(default_factory=dict)
+    wav: tp.Dict[str, WavCondition] = dataclasses.field(default_factory=dict)
+    joint_embed: tp.Dict[str, JointEmbedCondition] = dataclasses.field(default_factory=dict)
+    symbolic: tp.Dict[str, SymbolicCondition] = dataclasses.field(default_factory=dict)
+
+    def __getitem__(self, item):
+        return getattr(self, item)
+
+    @property
+    def text_attributes(self):
+        return self.text.keys()
+
+    @property
+    def wav_attributes(self):
+        return self.wav.keys()
+
+    @property
+    def joint_embed_attributes(self):
+        return self.joint_embed.keys()
+
+    @property
+    def symbolic_attributes(self):
+        return self.symbolic.keys()
+
+    @property
+    def attributes(self):
+        return {"text": self.text_attributes, "wav": self.wav_attributes,
+                "joint_embed": self.joint_embed_attributes,
+                "symbolic": self.symbolic_attributes}
+
+    def to_flat_dict(self):
+        return {**{f"text.{k}": v for k, v in self.text.items()},
+                **{f"wav.{k}": v for k, v in self.wav.items()},
+                **{f"joint_embed.{k}": v for k, v in self.joint_embed.items()},
+                **{f"symbolic.{k}": v for k, v in self.symbolic.items()}}
+
+    @classmethod
+    def from_flat_dict(cls, x):
+        out = cls()
+        for k, v in x.items():
+            kind, att = k.split(".")
+            out[kind][att] = v
+        return out
+
+
+# ----------------------------------------------------------------- nullify
+
+def nullify_condition(condition: tp.Tuple[np.ndarray, np.ndarray], dim: int = 1):
+    """Zero-length null condition (`conditioners.py:138-163`)."""
+    cond, _ = condition
+    B = cond.shape[0]
+    out = np.moveaxis(cond, dim, -1)
+    out = 0.0 * out[..., :1]
+    out = np.moveaxis(out, -1, dim)
+    mask = np.zeros((B, 1), dtype=np.int32)
+    return out, mask
+
+
+def nullify_wav(cond: WavCondition) -> WavCondition:
+    """`conditioners.py:166-182`."""
+    null_wav, _ = nullify_condition((cond.wav, np.zeros_like(cond.wav)),
+                                    dim=cond.wav.ndim - 1)
+    B = cond.wav.shape[0]
+    return WavCondition(wav=null_wav, length=np.zeros(B, dtype=np.int64),
+                        sample_rate=cond.sample_rate, path=[None] * B,
+                        seek_time=[None] * B)
+
+
+def nullify_joint_embed(embed: JointEmbedCondition) -> JointEmbedCondition:
+    """`conditioners.py:185-199`."""
+    null_wav, _ = nullify_condition((embed.wav, np.zeros_like(embed.wav)),
+                                    dim=embed.wav.ndim - 1)
+    return JointEmbedCondition(
+        wav=null_wav, text=[None] * len(embed.text),
+        length=np.zeros(embed.wav.shape[0], dtype=np.int64),
+        sample_rate=embed.sample_rate, path=[None] * embed.wav.shape[0],
+        seek_time=[0] * embed.wav.shape[0])
+
+
+def nullify_chords(sym_cond: SymbolicCondition, null_chord_idx: int = 194) -> SymbolicCondition:
+    return SymbolicCondition(frame_chords=np.ones_like(sym_cond.frame_chords) * null_chord_idx)
+
+
+def nullify_melody(sym_cond: SymbolicCondition) -> SymbolicCondition:
+    return SymbolicCondition(melody=np.zeros_like(sym_cond.melody))
+
+
+# --------------------------------------------------------------- tokenizers
+
+class Tokenizer:
+    def __call__(self, texts: tp.List[tp.Optional[str]]
+                 ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError()
+
+
+class WhiteSpaceTokenizer(Tokenizer):
+    """Hash-trick whitespace tokenizer (`conditioners.py:247-313`, minus the
+    spaCy lemmatization — see module docstring)."""
+    PUNCTUATION = "?:!.,;"
+
+    def __init__(self, n_bins: int, pad_idx: int = 0, lemma: bool = True,
+                 stopwords: bool = True):
+        self.n_bins = n_bins
+        self.pad_idx = pad_idx
+
+    def __call__(self, texts: tp.List[tp.Optional[str]]):
+        output, lengths = [], []
+        for text in texts:
+            if text is None:
+                output.append([self.pad_idx])
+                lengths.append(0)
+                continue
+            text = re.sub(f"[{re.escape(self.PUNCTUATION)}]", "", text.lower())
+            words = text.split()
+            lengths.append(len(words))
+            output.append([hash_trick(w, self.n_bins) for w in words] or [self.pad_idx])
+        mask = length_to_mask(np.array(lengths))
+        max_len = mask.shape[1]
+        padded = np.full((len(output), max_len), self.pad_idx, dtype=np.int32)
+        for i, toks in enumerate(output):
+            padded[i, :len(toks)] = toks[:max_len]
+        return padded, mask
+
+
+class NoopTokenizer(Tokenizer):
+    """One index per whole string (`conditioners.py:316-344`)."""
+
+    def __init__(self, n_bins: int, pad_idx: int = 0):
+        self.n_bins = n_bins
+        self.pad_idx = pad_idx
+
+    def __call__(self, texts: tp.List[tp.Optional[str]]):
+        output, lengths = [], []
+        for text in texts:
+            if text is None:
+                output.append(self.pad_idx)
+                lengths.append(0)
+            else:
+                output.append(hash_trick(text, self.n_bins))
+                lengths.append(1)
+        tokens = np.array(output, dtype=np.int32)[:, None]
+        mask = length_to_mask(np.array(lengths))
+        return tokens, mask
+
+
+# -------------------------------------------------------------- conditioners
+
+class BaseConditioner(nn.Module):
+    """Base conditioner (`conditioners.py:346-380`): host `tokenize` +
+    device `__call__`, optional output projection."""
+    dim: int = 0
+    output_dim: int = 0
+    dtype: tp.Any = jnp.float32
+    param_dtype: tp.Any = jnp.float32
+
+    def _output_proj(self, x: jax.Array) -> jax.Array:
+        if self.output_dim > -1:
+            return nn.Dense(self.output_dim, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="output_proj")(x)
+        return x
+
+    def tokenize(self, *args, **kwargs) -> tp.Any:
+        raise NotImplementedError()
+
+
+class TextConditioner(BaseConditioner):
+    ...
+
+
+class LUTConditioner(TextConditioner):
+    """Lookup-table text conditioner (`conditioners.py:387-419`)."""
+    n_bins: int = 0
+    tokenizer: str = "noop"
+    pad_idx: int = 0
+
+    def _get_tokenizer(self) -> Tokenizer:
+        if self.tokenizer == "whitespace":
+            return WhiteSpaceTokenizer(self.n_bins, pad_idx=self.pad_idx)
+        elif self.tokenizer == "noop":
+            return NoopTokenizer(self.n_bins, pad_idx=self.pad_idx)
+        raise ValueError(f"unrecognized tokenizer `{self.tokenizer}`.")
+
+    def tokenize(self, x: tp.List[tp.Optional[str]]):
+        return self._get_tokenizer()(x)
+
+    @nn.compact
+    def __call__(self, inputs) -> ConditionType:
+        tokens, mask = inputs
+        embeds = nn.Embed(self.n_bins, self.dim, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="embed")(
+            jnp.asarray(tokens))
+        embeds = self._output_proj(embeds)
+        mask = jnp.asarray(mask)
+        embeds = embeds * mask[..., None].astype(embeds.dtype)
+        return embeds, mask
+
+
+class T5Conditioner(TextConditioner):
+    """T5-encoder text conditioner (`conditioners.py:422-569`).
+
+    The encoder is a native JAX T5 (`modules/t5.py`); pretrained weights load
+    from a local HF checkpoint via `models/loaders.py`. The sentencepiece
+    tokenizer is host-side via `transformers` (needs a local vocab; a
+    hash-trick fallback keeps debug models hermetic).
+    """
+    name: str = "t5-base"
+    finetune: bool = False
+    word_dropout: float = 0.0
+    normalize_text: bool = False
+
+    MODELS_DIMS = {"t5-small": 512, "t5-base": 768, "t5-large": 1024,
+                   "t5-3b": 1024, "t5-11b": 1024,
+                   "google/flan-t5-small": 512, "google/flan-t5-base": 768,
+                   "google/flan-t5-large": 1024, "google/flan-t5-3b": 1024,
+                   "google/flan-t5-11b": 1024}
+
+    def _get_tokenizer(self):
+        try:
+            from transformers import T5Tokenizer  # host-side sentencepiece
+            return T5Tokenizer.from_pretrained(self.name)
+        except Exception as e:  # zero-egress / no local vocab: fall back
+            logger.warning("T5 tokenizer unavailable (%s); using hash fallback", e)
+            return None
+
+    def tokenize(self, x: tp.List[tp.Optional[str]]):
+        entries = [xi if xi is not None else "" for xi in x]
+        tok = self._get_tokenizer()
+        if tok is not None:
+            inputs = tok(entries, return_tensors="np", padding=True)
+            mask = inputs["attention_mask"].astype(np.int32)
+            mask[np.array([not e for e in entries])] = 0
+            return inputs["input_ids"].astype(np.int32), mask
+        wst = WhiteSpaceTokenizer(n_bins=32128)
+        return wst([xi if xi else None for xi in x])
+
+    @nn.compact
+    def __call__(self, inputs) -> ConditionType:
+        from .t5 import T5EncoderConfig, T5Encoder
+        tokens, mask = inputs
+        cfg = T5EncoderConfig.for_model(self.name)
+        embeds = T5Encoder(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="t5")(jnp.asarray(tokens), jnp.asarray(mask))
+        if not self.finetune:
+            embeds = jax.lax.stop_gradient(embeds)
+        embeds = self._output_proj(embeds.astype(self.dtype))
+        mask = jnp.asarray(mask)
+        embeds = embeds * mask[..., None].astype(embeds.dtype)
+        return embeds, mask
+
+
+# ----------------------------------------------------------------- dropouts
+
+def dropout_condition(sample: ConditioningAttributes, condition_type: str,
+                      condition: str) -> ConditioningAttributes:
+    """Nullify one attribute in-place (`conditioners.py:1337-1377`)."""
+    if condition_type not in ["text", "wav", "joint_embed", "symbolic"]:
+        raise ValueError(f"unexpected condition type: {condition_type}")
+    if condition not in getattr(sample, condition_type):
+        raise ValueError(f"unexpected condition {condition}.{condition_type}")
+    if condition_type == "wav":
+        sample.wav[condition] = nullify_wav(sample.wav[condition])
+    elif condition_type == "joint_embed":
+        sample.joint_embed[condition] = nullify_joint_embed(sample.joint_embed[condition])
+    elif condition_type == "symbolic":
+        sym = sample.symbolic[condition]
+        if sym.frame_chords is not None:
+            sample.symbolic[condition] = nullify_chords(sym)
+        else:
+            sample.symbolic[condition] = nullify_melody(sym)
+    else:
+        sample.text[condition] = None
+    return sample
+
+
+class AttributeDropout:
+    """Independent per-attribute dropout (`conditioners.py:1380-1426`).
+    Host-side, numpy RNG."""
+
+    def __init__(self, p: tp.Dict[str, tp.Dict[str, float]],
+                 active_on_eval: bool = False, seed: int = 1234):
+        self.active_on_eval = active_on_eval
+        self.p = {ct: defaultdict(lambda: 0, probs) for ct, probs in p.items()}
+        self.rng = np.random.RandomState(seed)
+        self.training = True
+
+    def __call__(self, samples: tp.List[ConditioningAttributes]
+                 ) -> tp.List[ConditioningAttributes]:
+        if not self.training and not self.active_on_eval:
+            return samples
+        samples = deepcopy(samples)
+        for condition_type, ps in self.p.items():
+            for condition, p in ps.items():
+                if self.rng.rand() < p:
+                    for sample in samples:
+                        dropout_condition(sample, condition_type, condition)
+        return samples
+
+    def __repr__(self):
+        return f"AttributeDropout({dict(self.p)})"
+
+
+class ClassifierFreeGuidanceDropout:
+    """All-or-nothing condition dropout (`conditioners.py:1427-1467`)."""
+
+    def __init__(self, p: float, seed: int = 1234):
+        self.p = p
+        self.rng = np.random.RandomState(seed)
+        self.training = True
+
+    def __call__(self, samples: tp.List[ConditioningAttributes],
+                 cond_types: tp.List[str] = ["wav", "text"]
+                 ) -> tp.List[ConditioningAttributes]:
+        if not self.training and self.p < 1.0:
+            return samples
+        drop = self.rng.rand() < self.p
+        if not drop:
+            return samples
+        samples = deepcopy(samples)
+        for condition_type in cond_types:
+            for sample in samples:
+                for condition in list(sample.attributes[condition_type]):
+                    dropout_condition(sample, condition_type, condition)
+        return samples
+
+    def __repr__(self):
+        return f"ClassifierFreeGuidanceDropout(p={self.p})"
+
+
+def drop_description_condition(conditions: tp.List[ConditioningAttributes]
+                               ) -> tp.List[ConditioningAttributes]:
+    """Drop text but keep wav, for double-CFG (`conditioners.py:222-236`)."""
+    for condition in conditions:
+        assert "description" in condition.text.keys()
+        assert "self_wav" in condition.wav.keys()
+    dropper = AttributeDropout(p={"text": {"description": 1.0},
+                                  "wav": {"self_wav": 0.0}})
+    dropper.active_on_eval = True
+    return dropper(conditions)
+
+
+# ------------------------------------------------------------------ provider
+
+class ConditioningProvider(nn.Module):
+    """Aggregates conditioners; host `tokenize` + device forward
+    (`conditioners.py:1469-1545`)."""
+    conditioners: tp.Dict[str, BaseConditioner]
+
+    @property
+    def text_conditions(self):
+        return [k for k, v in self.conditioners.items()
+                if isinstance(v, TextConditioner)]
+
+    def tokenize(self, inputs: tp.List[ConditioningAttributes]) -> tp.Dict[str, tp.Any]:
+        assert all(isinstance(x, ConditioningAttributes) for x in inputs)
+        output = {}
+        text = self._collate_text(inputs)
+        wavs = self._collate_wavs(inputs)
+        assert set(text.keys() | wavs.keys()).issubset(set(self.conditioners.keys())), \
+            (f"Got an unexpected attribute! Expected {self.conditioners.keys()}, "
+             f"got {text.keys(), wavs.keys()}")
+        for attribute, batch in chain(text.items(), wavs.items()):
+            output[attribute] = self.conditioners[attribute].tokenize(batch)
+        return output
+
+    def __call__(self, tokenized: tp.Dict[str, tp.Any]) -> tp.Dict[str, ConditionType]:
+        output = {}
+        for attribute, inputs in tokenized.items():
+            output[attribute] = self.conditioners[attribute](inputs)
+        return output
+
+    def _collate_text(self, samples):
+        out = defaultdict(list)
+        texts = [x.text for x in samples]
+        for text in texts:
+            for condition in self.text_conditions:
+                out[condition].append(text.get(condition))
+        return out
+
+    def _collate_wavs(self, samples):
+        """Per-attribute stacked WavCondition (`conditioners.py:1570-1620`)."""
+        wavs = defaultdict(list)
+        lengths = defaultdict(list)
+        sample_rates = defaultdict(list)
+        paths = defaultdict(list)
+        seek_times = defaultdict(list)
+        out: tp.Dict[str, WavCondition] = {}
+        for sample in samples:
+            for attribute in sample.wav_attributes:
+                wav, length, sample_rate, path, seek_time = sample.wav[attribute]
+                assert wav.ndim == 3, f"Expecting wav to be [B, C, T], got {wav.shape}"
+                assert wav.shape[0] == 1, "Expecting single-item batch"
+                wavs[attribute].append(np.asarray(wav).squeeze(0))
+                lengths[attribute].append(np.asarray(length))
+                sample_rates[attribute].extend(sample_rate)
+                paths[attribute].extend(path)
+                seek_times[attribute].extend(seek_time)
+        for attribute in wavs:
+            max_len = max(w.shape[-1] for w in wavs[attribute])
+            stacked = np.stack([
+                np.pad(w, ((0, 0), (0, max_len - w.shape[-1]))) for w in wavs[attribute]])
+            out[attribute] = WavCondition(
+                stacked, np.concatenate(lengths[attribute]).reshape(-1),
+                sample_rates[attribute], paths[attribute], seek_times[attribute])
+        return out
+
+
+# -------------------------------------------------------------------- fuser
+
+class ConditionFuser:
+    """Fuse conditions into the model input (`conditioners.py:1672-1763`).
+
+    Stateless: callers pass `first_step=False` for incremental decode steps so
+    `prepend` only applies at prefill.
+    """
+    FUSING_METHODS = ["sum", "prepend", "cross", "ignore", "input_interpolate"]
+
+    def __init__(self, fuse2cond: tp.Dict[str, tp.List[str]],
+                 cross_attention_pos_emb: bool = False,
+                 cross_attention_pos_emb_scale: float = 1.0):
+        assert all(k in self.FUSING_METHODS for k in fuse2cond.keys()), \
+            f"Got invalid fuse method, allowed methods: {self.FUSING_METHODS}"
+        self.cross_attention_pos_emb = cross_attention_pos_emb
+        self.cross_attention_pos_emb_scale = cross_attention_pos_emb_scale
+        self.fuse2cond = {k: list(v) for k, v in fuse2cond.items()}
+        self.cond2fuse: tp.Dict[str, str] = {}
+        for fuse_method, conditions in fuse2cond.items():
+            for condition in conditions:
+                self.cond2fuse[condition] = fuse_method
+
+    @property
+    def has_prepend(self) -> bool:
+        return bool(self.fuse2cond.get("prepend"))
+
+    def __call__(self, input: jax.Array,
+                 conditions: tp.Dict[str, ConditionType],
+                 first_step: bool = True
+                 ) -> tp.Tuple[jax.Array, tp.Optional[jax.Array]]:
+        assert set(conditions.keys()).issubset(set(self.cond2fuse.keys())), \
+            (f"given conditions contain unknown attributes for fuser, "
+             f"expected {self.cond2fuse.keys()}, got {conditions.keys()}")
+        cross_attention_output = None
+        for cond_type, (cond, cond_mask) in conditions.items():
+            op = self.cond2fuse[cond_type]
+            cond = cond.astype(input.dtype)
+            if op == "sum":
+                input = input + cond
+            elif op == "input_interpolate":
+                # nearest-exact resample of cond time axis to input length
+                T_in = input.shape[1]
+                idx = (jnp.arange(T_in) * cond.shape[1] // T_in)
+                input = input + jnp.take(cond, idx, axis=1)
+            elif op == "prepend":
+                if first_step:
+                    input = jnp.concatenate([cond, input], axis=1)
+            elif op == "cross":
+                if cross_attention_output is not None:
+                    cross_attention_output = jnp.concatenate(
+                        [cross_attention_output, cond], axis=1)
+                else:
+                    cross_attention_output = cond
+            elif op == "ignore":
+                continue
+            else:
+                raise ValueError(f"unknown op ({op})")
+
+        if self.cross_attention_pos_emb and cross_attention_output is not None:
+            positions = jnp.arange(cross_attention_output.shape[1]).reshape(1, -1, 1)
+            pos_emb = create_sin_embedding(positions, cross_attention_output.shape[-1])
+            cross_attention_output = (cross_attention_output
+                                      + self.cross_attention_pos_emb_scale
+                                      * pos_emb.astype(cross_attention_output.dtype))
+        return input, cross_attention_output

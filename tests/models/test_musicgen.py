@@ -1,0 +1,74 @@
+"""End-to-end debug-size MusicGen tests (cf. reference
+`tests/models/test_musicgen.py:13-65`)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiocraft_tpu.models import MusicGen
+
+HOP = 1280  # debug codec: 32000 / 25
+
+
+@pytest.fixture(scope="module")
+def mg():
+    mg = MusicGen.get_pretrained("debug")
+    mg.set_generation_params(duration=0.5, extend_stride=0.25)
+    return mg
+
+
+def test_base(mg):
+    assert mg.frame_rate == 25
+    assert mg.sample_rate == 32000
+    assert mg.audio_channels == 1
+
+
+def test_generate_unconditional(mg):
+    wav = mg.generate_unconditional(2)
+    n_tok = int(0.5 * 25)
+    assert list(wav.shape) == [2, 1, n_tok * HOP]
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_generate_text(mg):
+    wav, tokens = mg.generate(["90s rock song with loud guitars"],
+                              return_tokens=True)
+    n_tok = int(0.5 * 25)
+    assert tokens.shape == (1, 4, n_tok)
+    assert list(wav.shape) == [1, 1, n_tok * HOP]
+    assert (np.asarray(tokens) >= 0).all()
+    assert (np.asarray(tokens) < 400).all()
+
+
+def test_generate_continuation(mg):
+    prompt = np.random.randn(1, 1, 6400).astype(np.float32) * 0.1
+    wav, tokens = mg.generate_continuation(prompt, 32000,
+                                           descriptions=["calm piano"],
+                                           return_tokens=True)
+    n_tok = int(0.5 * 25)
+    assert tokens.shape == (1, 4, n_tok)
+    assert list(wav.shape) == [1, 1, n_tok * HOP]
+    # the prompt tokens must be retained verbatim in the output
+    from audiocraft_tpu.models.musicgen import MusicGen as MG
+    prompt_tokens, _ = mg.compression_model.encode(
+        mg.compression_variables, jnp.asarray(prompt))
+    np.testing.assert_array_equal(
+        np.asarray(tokens[..., :prompt_tokens.shape[-1]]),
+        np.asarray(prompt_tokens))
+
+
+def test_generate_long_window():
+    """duration > max_duration triggers the sliding re-prompt window."""
+    mg2 = MusicGen.get_pretrained("debug")
+    mg2.max_duration = 0.6
+    mg2.set_generation_params(duration=1.2, extend_stride=0.3)
+    wav, tokens = mg2.generate(["techno"], return_tokens=True)
+    assert tokens.shape[-1] >= int(1.2 * 25)
+    assert wav.shape[2] == tokens.shape[-1] * HOP
+
+
+def test_determinism_with_seed(mg):
+    mg.set_seed(42)
+    w1 = np.asarray(mg.generate(["jazz"]))
+    mg.set_seed(42)
+    w2 = np.asarray(mg.generate(["jazz"]))
+    np.testing.assert_array_equal(w1, w2)
