@@ -1,0 +1,7 @@
+"""Losses (layer 5)."""
+# flake8: noqa
+from .balancer import Balancer, BalancerState
+from .sisnr import SISNR
+from .specloss import (MelSpectrogramL1Loss, MelSpectrogramWrapper,
+                       MultiScaleMelSpectrogramLoss)
+from .stftloss import MRSTFTLoss, STFTLoss, STFTLosses

@@ -217,3 +217,24 @@ def get_debug_lm_model() -> tp.Tuple[LMModel, tp.Any]:
                     num_layers=2, cross_attention=True, causal=True)
     params = init_lm_params(model, jax.random.PRNGKey(0))
     return model, params
+
+
+def get_debug_magnet_lm_model() -> tp.Tuple["LMModel", tp.Any]:
+    """Tiny MAGNeT LM for unit tests: parallel pattern, non-causal."""
+    from .lm import init_lm_params
+    from .lm_magnet import MagnetLMModel
+    dim = 16
+    conditioners: tp.Dict[str, BaseConditioner] = {
+        "description": LUTConditioner(n_bins=128, dim=dim, output_dim=dim,
+                                      tokenizer="whitespace"),
+    }
+    fuser = ConditionFuser({"cross": ["description"], "prepend": [],
+                            "sum": [], "input_interpolate": []})
+    model = MagnetLMModel(
+        pattern_provider=ParallelPatternProvider(n_q=4),
+        conditioners=conditioners, fuser=fuser, n_q=4, card=400, dim=dim,
+        num_heads=4, num_layers=2, cross_attention=True, causal=False,
+        subcodes_context=5, compression_model_framerate=25,
+        segment_duration=10, span_len=3)
+    params = init_lm_params(model, jax.random.PRNGKey(0))
+    return model, params

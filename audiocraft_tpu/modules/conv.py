@@ -271,3 +271,59 @@ class StreamableConvTranspose1d(nn.Module):
             padding_left = padding_total - padding_right
             y = unpad1d(y, (padding_left, padding_right))
         return y
+
+
+class NormConv2d(nn.Module):
+    """Conv2d + normalization (`conv.py:119-131`). Layout ``[B, H, W, C]``
+    (NHWC; reference uses NCHW)."""
+    in_channels: int
+    out_channels: int
+    kernel_size: tp.Tuple[int, int]
+    stride: tp.Tuple[int, int] = (1, 1)
+    dilation: tp.Tuple[int, int] = (1, 1)
+    padding: tp.Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    norm: str = "none"
+    norm_kwargs: tp.Mapping[str, tp.Any] = nn.module.FrozenDict()
+    dtype: tp.Any = jnp.float32
+    param_dtype: tp.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.norm in CONV_NORMALIZATIONS, self.norm
+        kh, kw = self.kernel_size
+        kshape = (kh, kw, self.in_channels, self.out_channels)
+        fan_in = self.in_channels * kh * kw
+        bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+        init = nn.initializers.uniform(scale=2 * bound)
+
+        def kernel_init(key, shape, dtype):
+            return init(key, shape, dtype) - bound
+
+        if self.norm == "weight_norm":
+            v = self.param("kernel_v", kernel_init, kshape, self.param_dtype)
+            g = self.param("kernel_g",
+                           lambda key, shape, dtype: jnp.sqrt(
+                               jnp.sum(jnp.square(v), axis=(0, 1, 2))).astype(dtype),
+                           (self.out_channels,), self.param_dtype)
+            kernel = _weight_norm_kernel(v, g)
+        else:
+            kernel = self.param("kernel", kernel_init, kshape, self.param_dtype)
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.stride,
+            padding=(
+                (self.padding[0], self.padding[0]),
+                (self.padding[1], self.padding[1]),
+            ),
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", kernel_init, (self.out_channels,), self.param_dtype)
+            y = y + b.astype(self.dtype)
+        if self.norm == "time_group_norm":
+            y = nn.GroupNorm(num_groups=1, dtype=self.dtype,
+                             param_dtype=self.param_dtype, **self.norm_kwargs)(y)
+        return y

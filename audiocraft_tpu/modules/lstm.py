@@ -27,8 +27,8 @@ class LSTMLayer(nn.Module):
                  ) -> tp.Tuple[jax.Array, tp.Tuple[jax.Array, jax.Array]]:
         B, T, C = x.shape
         H = self.hidden_size
-        k = 1.0 / jnp.sqrt(H)
-        uinit = nn.initializers.uniform(scale=2 * float(k))
+        k = 1.0 / (H ** 0.5)
+        uinit = nn.initializers.uniform(scale=2 * k)
 
         def pinit(key, shape, dtype):
             return uinit(key, shape, dtype) - k

@@ -1,0 +1,121 @@
+"""STFT / mel-spectrogram ops in pure JAX.
+
+Replaces torch.stft / torchaudio.MelSpectrogram used by the reference losses
+(`audiocraft/losses/stftloss.py:17-44`, `losses/specloss.py:18-63`). Framing
+is one strided gather + window + rfft — XLA fuses window/scale into the FFT's
+pre-pass.
+"""
+import math
+import typing as tp
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
+    """Periodic Hann, matching torch.hann_window(periodic=True)."""
+    n = jnp.arange(win_length, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * math.pi * n / win_length)
+
+
+def frame(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
+    """[..., T] -> [..., n_frames, frame_length] (no padding)."""
+    T = x.shape[-1]
+    n_frames = 1 + (T - frame_length) // hop_length
+    idx = (np.arange(n_frames)[:, None] * hop_length
+           + np.arange(frame_length)[None, :])
+    return x[..., idx]
+
+
+def stft(x: jax.Array, n_fft: int, hop_length: int,
+         win_length: tp.Optional[int] = None,
+         window: tp.Optional[jax.Array] = None, center: bool = True,
+         pad_mode: str = "reflect", normalized: bool = False) -> jax.Array:
+    """torch.stft-compatible. x [..., T] -> complex [..., n_fft//2+1, frames]."""
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (pad, n_fft - win_length - pad))
+    if center:
+        pad = n_fft // 2
+        pads = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(x, pads, mode=pad_mode)
+    frames = frame(x, n_fft, hop_length)           # [..., F, n_fft]
+    frames = frames * window
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [..., F, n_fft//2+1]
+    if normalized:
+        spec = spec / jnp.sqrt(jnp.sum(jnp.square(window)))
+    return jnp.swapaxes(spec, -1, -2)              # [..., bins, F]
+
+
+def spectrogram(x: jax.Array, n_fft: int, hop_length: int,
+                win_length: tp.Optional[int] = None, power: float = 2.0,
+                center: bool = True, normalized: bool = False,
+                pad_mode: str = "reflect") -> jax.Array:
+    s = stft(x, n_fft, hop_length, win_length, center=center,
+             normalized=normalized, pad_mode=pad_mode)
+    mag2 = jnp.real(s) ** 2 + jnp.imag(s) ** 2
+    if power == 2.0:
+        return mag2
+    return mag2 ** (power / 2.0)
+
+
+def _hz_to_mel(f, htk: bool = True):
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    # slaney
+    f = np.asarray(f, dtype=np.float64)
+    mel = f / (200.0 / 3)
+    log_step = np.log(6.4) / 27.0
+    above = f >= 1000.0
+    mel = np.where(above, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / log_step, mel)
+    return mel
+
+
+def _mel_to_hz(m, htk: bool = True):
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    m = np.asarray(m, dtype=np.float64)
+    f = m * (200.0 / 3)
+    log_step = np.log(6.4) / 27.0
+    above = m >= 15.0
+    return np.where(above, 1000.0 * np.exp(log_step * (m - 15.0)), f)
+
+
+@lru_cache(maxsize=32)
+def mel_filters(sample_rate: int, n_fft: int, n_mels: int, f_min: float = 0.0,
+                f_max: tp.Optional[float] = None, htk: bool = True,
+                norm: tp.Optional[str] = None) -> np.ndarray:
+    """Triangular mel filterbank [n_fft//2+1, n_mels], matching
+    torchaudio.functional.melscale_fbanks (mel_scale='htk' default)."""
+    f_max = f_max or sample_rate / 2
+    all_freqs = np.linspace(0, sample_rate // 2, n_fft // 2 + 1)
+    m_min, m_max = _hz_to_mel(f_min, htk), _hz_to_mel(f_max, htk)
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = _mel_to_hz(m_pts, htk)
+    f_diff = np.diff(f_pts)                             # [n_mels + 1]
+    slopes = f_pts[None, :] - all_freqs[:, None]        # [n_freqs, n_mels + 2]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    if norm == "slaney":
+        enorm = 2.0 / (f_pts[2:n_mels + 2] - f_pts[:n_mels])
+        fb *= enorm[None, :]
+    return fb.astype(np.float32)
+
+
+def mel_spectrogram(x: jax.Array, sample_rate: int, n_fft: int,
+                    hop_length: int, win_length: tp.Optional[int] = None,
+                    n_mels: int = 80, f_min: float = 0.0,
+                    f_max: tp.Optional[float] = None, power: float = 2.0,
+                    center: bool = True, normalized: bool = False
+                    ) -> jax.Array:
+    """[..., T] -> [..., n_mels, frames], torchaudio-compatible."""
+    spec = spectrogram(x, n_fft, hop_length, win_length, power=power,
+                       center=center, normalized=normalized)
+    fb = jnp.asarray(mel_filters(sample_rate, n_fft, n_mels, f_min, f_max))
+    return jnp.einsum("...bf,bm->...mf", spec, fb.astype(spec.dtype))

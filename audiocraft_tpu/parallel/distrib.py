@@ -1,0 +1,76 @@
+"""Distributed facade: the reference's `flashy.distrib` verbs, TPU-native.
+
+Parity: SURVEY.md §2.8/§5 — init/rank/world_size/barrier/average_metrics/
+average_tensors/sync_model/broadcast_tensors over torch.distributed+NCCL
+become mostly no-ops under single-controller SPMD: gradient sync is implicit
+in pjit-sharded grads, buffers are replicated by construction, and metric
+averaging is a jnp.mean over the global (sharded) array.
+"""
+import logging
+import os
+import typing as tp
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+_INITIALIZED = False
+
+
+def init(coordinator_address: tp.Optional[str] = None,
+         num_processes: tp.Optional[int] = None,
+         process_id: tp.Optional[int] = None):
+    """Initialize multi-host JAX if env vars / args request it
+    (replaces `flashy.distrib.init`, `train.py:138`)."""
+    global _INITIALIZED
+    if _INITIALIZED:
+        return
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is not None or num_processes is not None:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    _INITIALIZED = True
+
+
+def rank() -> int:
+    return jax.process_index()
+
+
+def world_size() -> int:
+    return jax.process_count()
+
+
+def is_distributed() -> bool:
+    return world_size() > 1
+
+
+def barrier():
+    """Cross-host barrier: a tiny global collective."""
+    if is_distributed():
+        x = jax.numpy.zeros(())
+        jax.block_until_ready(jax.jit(lambda v: v + 1)(x))
+
+
+def average_metrics(metrics: tp.Dict[str, tp.Any], count: float = 1.0):
+    """Under SPMD each process computes metrics over the global batch, so the
+    average is already global (`solvers/base.py:556`). Kept for API parity."""
+    return {k: float(np.asarray(v)) for k, v in metrics.items()}
+
+
+def sync_model(params):
+    """Gradient sync is implicit under pjit; no-op (`musicgen.py:402-409`)."""
+    return params
+
+
+def eager_sync_model(params):
+    return params
+
+
+def broadcast_tensors(tensors):
+    """Replication is structural under GSPMD; no-op (`core_vq.py:140`)."""
+    return tensors
+
+
+def is_rank_zero() -> bool:
+    return rank() == 0
