@@ -315,6 +315,15 @@ class T5Conditioner(TextConditioner):
         return embeds, mask
 
 
+class WaveformConditioner(BaseConditioner):
+    """Base for conditioners operating on waveforms
+    (`conditioners.py:571-620`): subclasses implement `_get_wav_embedding`
+    and optional downsampling; tokenize passes the WavCondition through."""
+
+    def tokenize(self, x: WavCondition) -> WavCondition:
+        return x
+
+
 # ----------------------------------------------------------------- dropouts
 
 def dropout_condition(sample: ConditioningAttributes, condition_type: str,
@@ -417,6 +426,15 @@ class ConditioningProvider(nn.Module):
         return [k for k, v in self.conditioners.items()
                 if isinstance(v, TextConditioner)]
 
+    @property
+    def wav_conditions(self):
+        return [k for k, v in self.conditioners.items()
+                if isinstance(v, WaveformConditioner)]
+
+    @property
+    def has_wav_condition(self):
+        return len(self.wav_conditions) > 0
+
     def tokenize(self, inputs: tp.List[ConditioningAttributes]) -> tp.Dict[str, tp.Any]:
         assert all(isinstance(x, ConditioningAttributes) for x in inputs)
         output = {}
@@ -451,22 +469,25 @@ class ConditioningProvider(nn.Module):
         paths = defaultdict(list)
         seek_times = defaultdict(list)
         out: tp.Dict[str, WavCondition] = {}
+        # only collate attributes with a registered waveform conditioner
+        # (`conditioners.py:1596-1598`)
         for sample in samples:
-            for attribute in sample.wav_attributes:
+            for attribute in self.wav_conditions:
                 wav, length, sample_rate, path, seek_time = sample.wav[attribute]
-                assert wav.ndim == 3, f"Expecting wav to be [B, C, T], got {wav.shape}"
+                assert wav.ndim == 3, f"Expecting wav to be [1, C, T], got {wav.shape}"
                 assert wav.shape[0] == 1, "Expecting single-item batch"
-                wavs[attribute].append(np.asarray(wav).squeeze(0))
-                lengths[attribute].append(np.asarray(length))
+                wav = np.asarray(wav).mean(axis=1, keepdims=True)  # mono
+                wavs[attribute].append(wav.reshape(-1))  # [T]
+                lengths[attribute].append(np.asarray(length).reshape(-1))
                 sample_rates[attribute].extend(sample_rate)
                 paths[attribute].extend(path)
                 seek_times[attribute].extend(seek_time)
-        for attribute in wavs:
+        for attribute in self.wav_conditions:
             max_len = max(w.shape[-1] for w in wavs[attribute])
             stacked = np.stack([
-                np.pad(w, ((0, 0), (0, max_len - w.shape[-1]))) for w in wavs[attribute]])
+                np.pad(w, (0, max_len - w.shape[-1])) for w in wavs[attribute]])
             out[attribute] = WavCondition(
-                stacked, np.concatenate(lengths[attribute]).reshape(-1),
+                stacked[:, None], np.concatenate(lengths[attribute]),
                 sample_rates[attribute], paths[attribute], seek_times[attribute])
         return out
 

@@ -1,0 +1,128 @@
+"""Solver registry and factories (optimizers, datasets).
+
+Parity: `audiocraft/solvers/builders.py:44-377`.
+"""
+import logging
+import typing as tp
+from enum import Enum
+from pathlib import Path
+
+import optax
+
+from ..data.audio_dataset import AudioDataset
+from ..data.loader import DataLoader
+from ..data.info_audio_dataset import InfoAudioDataset
+from ..data.music_dataset import MusicDataset
+from ..data.sound_dataset import SoundDataset
+from ..optim.lr_schedulers import get_lr_scheduler
+from ..optim.dadam import dadapt_adam
+
+logger = logging.getLogger(__name__)
+
+
+class DatasetType(Enum):
+    AUDIO = "audio"
+    MUSIC = "music"
+    SOUND = "sound"
+
+
+def get_solver(cfg: dict):
+    """Solver registry (`builders.py:44-65`)."""
+    from .compression import CompressionSolver
+    from .musicgen import MusicGenSolver
+    from .audiogen import AudioGenSolver
+    from .magnet import MagnetSolver, AudioMagnetSolver
+    from .diffusion import DiffusionSolver
+    from .watermark import WatermarkSolver
+    klass = {
+        "compression": CompressionSolver,
+        "musicgen": MusicGenSolver,
+        "audiogen": AudioGenSolver,
+        "magnet": MagnetSolver,
+        "audio_magnet": AudioMagnetSolver,
+        "diffusion": DiffusionSolver,
+        "watermarking": WatermarkSolver,
+    }[cfg["solver"]]
+    return klass(cfg)
+
+
+def get_optim_parameter_groups(*args, **kwargs):
+    """Per-module optim groups are handled through optax masks; kept for API
+    parity (`builders.py:68-93`)."""
+    raise NotImplementedError("use optax.masked transforms for param groups")
+
+
+def get_optimizer(cfg: dict, total_updates: int = 1
+                  ) -> optax.GradientTransformation:
+    """Optimizer + LR schedule factory (`builders.py:95-139`)."""
+    name = cfg.get("optimizer", "adamw")
+    lr = cfg.get("lr", 1e-4)
+    sched_name = cfg.get("lr_scheduler")
+    schedule = get_lr_scheduler(sched_name, lr, total_updates,
+                                cfg.get(sched_name or "", {}) if isinstance(
+                                    cfg.get(sched_name or ""), dict) else {})
+    chain = []
+    max_norm = cfg.get("max_norm", 0.0)
+    if max_norm:
+        chain.append(optax.clip_by_global_norm(max_norm))
+    betas = tuple(cfg.get("adam", {}).get("betas", (0.9, 0.999)))
+    eps = cfg.get("adam", {}).get("eps", 1e-8)
+    weight_decay = cfg.get("adam", {}).get("weight_decay", 0.0)
+    if name == "adamw":
+        chain.append(optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                                 weight_decay=weight_decay))
+    elif name == "adam":
+        chain.append(optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps))
+    elif name == "dadam":
+        chain.append(dadapt_adam(1.0, betas=betas, eps=eps,
+                                 weight_decay=weight_decay))
+    else:
+        raise ValueError(f"Unsupported Optimizer: {name}")
+    return optax.chain(*chain)
+
+
+def get_audio_datasets(cfg: dict,
+                       dataset_type: DatasetType = DatasetType.AUDIO
+                       ) -> tp.Dict[str, DataLoader]:
+    """Per-split dataloader assembly (`builders.py:297-377`)."""
+    dataloaders: tp.Dict[str, DataLoader] = {}
+    sample_rate = cfg["sample_rate"]
+    channels = cfg["channels"]
+    dataset_cfg = dict(cfg.get("datasource", {}))
+    dcfg = dict(cfg.get("dataset", {}))
+    seed = cfg.get("seed", 2036)
+    max_sample_rate = dataset_cfg.pop("max_sample_rate", sample_rate)
+    max_channels = dataset_cfg.pop("max_channels", channels)
+    assert max_sample_rate >= sample_rate
+    assert max_channels >= channels
+
+    for split in ["train", "valid", "evaluate", "generate"]:
+        path = dataset_cfg.get(split)
+        if path is None:
+            continue
+        split_cfg = dict(dcfg)
+        split_cfg.update(dcfg.get(split, {}) if isinstance(
+            dcfg.get(split), dict) else {})
+        for other in ["train", "valid", "evaluate", "generate"]:
+            split_cfg.pop(other, None)
+        batch_size = split_cfg.pop("batch_size", 1)
+        num_workers = split_cfg.pop("num_workers", 2)
+        shuffle = split_cfg.pop("shuffle", split == "train")
+        split_cfg.pop("num_samples", None)
+        num_samples = dcfg.get(split, {}).get("num_samples", 10000) \
+            if isinstance(dcfg.get(split), dict) else 10000
+        kwargs = dict(
+            segment_duration=split_cfg.get("segment_duration"),
+            num_samples=num_samples, sample_rate=sample_rate,
+            channels=channels, shuffle=shuffle, return_info=True,
+            min_segment_ratio=split_cfg.get("min_segment_ratio", 0.5))
+        if dataset_type == DatasetType.MUSIC:
+            ds: AudioDataset = MusicDataset.from_meta(path, **kwargs)
+        elif dataset_type == DatasetType.SOUND:
+            ds = SoundDataset.from_meta(path, **kwargs)
+        else:
+            ds = InfoAudioDataset.from_meta(path, **kwargs)
+        dataloaders[split] = DataLoader(ds, batch_size=batch_size,
+                                        shuffle=False, num_workers=num_workers,
+                                        seed=seed)
+    return dataloaders

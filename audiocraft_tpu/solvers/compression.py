@@ -224,3 +224,77 @@ def make_compression_valid_step(model: EncodecModel,
         return metrics
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------- solver
+
+class CompressionSolver:
+    """EnCodec training solver (`solvers/compression.py:27-328`).
+
+    Note: like the reference (`compression.py:40`), parameter sharding (fsdp)
+    is unsupported here — the codec is small; dp-only.
+    """
+
+    def __init__(self, cfg: dict):
+        import jax
+        from ..models import builders as model_builders
+        from . import builders as solver_builders
+
+        self.cfg = cfg
+        self.sample_rate = cfg.get("sample_rate", 32000)
+        self.dataloaders = solver_builders.get_audio_datasets(cfg) \
+            if cfg.get("datasource") else {}
+
+        if cfg.get("compression_model") == "encodec":
+            self.model = model_builders.get_compression_model(cfg)
+            variables = self.model.init(jax.random.PRNGKey(cfg.get("seed", 2036)))
+        else:
+            self.model, variables = model_builders.get_debug_compression_model(
+                self.sample_rate)
+
+        loss_weights = dict(cfg.get("losses", {"adv": 4.0, "feat": 4.0,
+                                               "l1": 0.1, "msspec": 2.0,
+                                               "mel": 0.0, "sisnr": 0.0}))
+        self.aux_losses = get_aux_losses(cfg, self.sample_rate)
+        self.adv_losses = get_adversarial_losses(cfg, self.sample_rate)
+        self.balancer = Balancer({}, **cfg.get("balancer", {}))
+        optim_cfg = cfg.get("optim", {})
+        self.optimizer = optax.adam(optim_cfg.get("lr", 3e-4), b1=0.5, b2=0.9)
+        self._step = make_compression_train_step(
+            self.model, self.adv_losses, self.aux_losses, loss_weights,
+            self.balancer, self.optimizer,
+            disc_every=cfg.get("adversarial", {}).get("every", 1),
+            max_norm=optim_cfg.get("max_norm", 0.0))
+        self._valid_step = make_compression_valid_step(
+            self.model, self.aux_losses, self.adv_losses)
+
+        segment = cfg.get("dataset", {}).get("segment_duration", 1.0)
+        example = jnp.zeros((1, self.model.channels,
+                             int(self.sample_rate * segment)), jnp.float32)
+        adv_states = {n: a.init(jax.random.PRNGKey(1), example)
+                      for n, a in self.adv_losses.items()}
+        self.state = CompressionTrainState(
+            step=jnp.zeros((), jnp.int32), gen_vars=variables,
+            gen_opt_state=self.optimizer.init(variables["params"]),
+            adv_states=adv_states, balancer_state=self.balancer.init_state())
+        self._rng = jax.random.PRNGKey(cfg.get("seed", 2036))
+        self.epoch = 1
+
+    def _next_rng(self):
+        import jax
+        self._rng, r = jax.random.split(self._rng)
+        return r
+
+    def run_step(self, idx: int, batch, metrics: dict) -> dict:
+        wav = batch[0] if isinstance(batch, tuple) else batch
+        x = jnp.asarray(wav)
+        self.state, m = self._step(self.state, x, self._next_rng())
+        metrics.update(m)
+        return metrics
+
+    @staticmethod
+    def model_from_checkpoint(checkpoint_path, **kwargs):
+        """Load a trained codec for downstream solvers
+        (`compression.py:268-301`)."""
+        from ..models import loaders
+        return loaders.load_compression_model(str(checkpoint_path))

@@ -167,3 +167,121 @@ def mask_padding(codes: jax.Array, padding_mask: jax.Array,
     (`solvers/musicgen.py:333-344`). codes [B,K,T], padding_mask [B,T]."""
     return jnp.where(padding_mask[:, None, :].astype(bool), codes,
                      special_token_id)
+
+
+# ---------------------------------------------------------------- solver
+
+class MusicGenSolver:
+    """MusicGen training solver (`solvers/musicgen.py:32-749`).
+
+    Composes: frozen compression model (encode-only), the LM with
+    text conditioners, CE over the delay pattern, CFG/attribute dropout.
+    """
+    DATASET_TYPE = "music"
+
+    def __init__(self, cfg: dict):
+        from .base import StandardSolver
+        from . import builders as solver_builders
+        self.cfg = cfg
+        self._base = None  # lazily share StandardSolver plumbing
+
+        import jax
+        from ..models import builders as model_builders
+        from ..models.lm import init_lm_params
+        from ..modules.conditioners import (AttributeDropout,
+                                            ClassifierFreeGuidanceDropout)
+
+        # datasets
+        dtype_map = {"music": solver_builders.DatasetType.MUSIC,
+                     "sound": solver_builders.DatasetType.SOUND,
+                     "audio": solver_builders.DatasetType.AUDIO}
+        self.dataloaders = solver_builders.get_audio_datasets(
+            cfg, dtype_map[self.DATASET_TYPE]) if cfg.get("datasource") else {}
+
+        # frozen compression model (`musicgen.py:140-160`)
+        self.compression_model = None
+        self.compression_variables = None
+        ckpt = cfg.get("compression_model_checkpoint")
+        if ckpt == "debug" or ckpt is None:
+            self.compression_model, self.compression_variables = \
+                model_builders.get_debug_compression_model(cfg.get("sample_rate", 32000))
+        else:
+            from .compression import CompressionSolver as CS
+            self.compression_model, self.compression_variables = \
+                CS.model_from_checkpoint(ckpt)
+
+        # the LM
+        if cfg.get("transformer_lm"):
+            self.model = model_builders.get_lm_model(cfg)
+        elif getattr(self, "DATASET_TYPE", "music") != "music" or \
+                type(self).__name__.startswith(("Magnet", "AudioMagnet")):
+            self.model, params = model_builders.get_debug_magnet_lm_model()
+        else:
+            self.model, params = model_builders.get_debug_lm_model()
+        rng = jax.random.PRNGKey(cfg.get("seed", 2036))
+        params = init_lm_params(self.model, rng)
+
+        cls_free = cfg.get("classifier_free_guidance", {})
+        self.cfg_dropout = ClassifierFreeGuidanceDropout(
+            p=cls_free.get("training_dropout", 0.0))
+        self.att_dropout = AttributeDropout(
+            p=cfg.get("attribute_dropout", {}))
+
+        optim_cfg = cfg.get("optim", {})
+        total_updates = (optim_cfg.get("epochs", 1)
+                         * optim_cfg.get("updates_per_epoch", 2000))
+        from . import builders
+        self.optimizer = builders.get_optimizer(optim_cfg, total_updates)
+        self.state = init_train_state(self.model, params, self.optimizer)
+        self._step = make_train_step(self.model, self.optimizer)
+        self._rng = jax.random.PRNGKey(cfg.get("seed", 2036))
+        self.epoch = 1
+
+    def _next_rng(self):
+        import jax
+        self._rng, r = jax.random.split(self._rng)
+        return r
+
+    def _prepare_tokens_and_attributes(self, batch):
+        """wav -> codes; infos -> dropped+tokenized conditions
+        (`musicgen.py:259-361`)."""
+        import jax.numpy as jnp
+        from ..models.lm import tokenize_conditions
+        wav, infos = batch
+        codes, scale = self.compression_model.encode(
+            self.compression_variables, jnp.asarray(wav))
+        assert scale is None, "Scaled compression model not supported with LM."
+        attributes = [info.to_condition_attributes() for info in infos]
+        attributes = apply_condition_dropout(attributes, self.cfg_dropout,
+                                             self.att_dropout)
+        tokenized = tokenize_conditions(self.model, attributes)
+        # padding -> special token (`musicgen.py:333-344`)
+        lengths = jnp.asarray(np.array([i.n_frames for i in infos]))
+        frame_rate = self.compression_model.frame_rate
+        valid_frames = jnp.ceil(lengths / (infos[0].sample_rate / frame_rate))
+        T = codes.shape[-1]
+        padding_mask = (jnp.arange(T)[None, :] < valid_frames[:, None])
+        codes = mask_padding(codes, padding_mask, self.model.special_token_id)
+        return codes, tokenized, padding_mask
+
+    def run_step(self, idx: int, batch, metrics: dict) -> dict:
+        codes, tokenized, padding_mask = self._prepare_tokens_and_attributes(batch)
+        self.state, step_metrics = self._step(self.state, codes, tokenized,
+                                              padding_mask, self._next_rng())
+        metrics.update(step_metrics)
+        return metrics
+
+    def run_epoch(self, split: str = "train", max_updates: int = 0) -> dict:
+        loader = self.dataloaders[split]
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(self.epoch)
+        average: tp.Dict[str, float] = {}
+        count = 0
+        for idx, batch in enumerate(loader):
+            if max_updates and idx >= max_updates:
+                break
+            m = self.run_step(idx, batch, {})
+            count += 1
+            for k, v in m.items():
+                average[k] = average.get(k, 0.0) + float(np.asarray(v))
+        return {k: v / max(count, 1) for k, v in average.items()}
