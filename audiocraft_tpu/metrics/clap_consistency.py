@@ -1,0 +1,56 @@
+"""CLAP text-audio consistency metric.
+
+Parity: `audiocraft/metrics/clap_consistency.py:18-80`. The CLAP checkpoint is
+not available in this zero-egress image: provide `embed_audio_fn` /
+`embed_text_fn` callables to enable it.
+"""
+import logging
+import typing as tp
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class TextConsistencyMetric:
+    """Base text-consistency metric (`clap_consistency.py:18-33`)."""
+
+    def update(self, audio: np.ndarray, text: tp.List[str], sizes, sample_rates):
+        raise NotImplementedError()
+
+    def compute(self) -> float:
+        raise NotImplementedError()
+
+
+class CLAPTextConsistencyMetric(TextConsistencyMetric):
+    """Cosine similarity between CLAP audio/text embeddings
+    (`clap_consistency.py:36-80`)."""
+
+    def __init__(self, model_path: tp.Optional[str] = None,
+                 model_arch: str = "HTSAT-tiny", enable_fusion: bool = False,
+                 embed_audio_fn: tp.Optional[tp.Callable] = None,
+                 embed_text_fn: tp.Optional[tp.Callable] = None):
+        self.embed_audio_fn = embed_audio_fn
+        self.embed_text_fn = embed_text_fn
+        self.cosine_sum = 0.0
+        self.weight = 0.0
+        if embed_audio_fn is None:
+            logger.warning("CLAP weights unavailable (zero-egress); pass "
+                           "embed_audio_fn/embed_text_fn to enable the metric.")
+
+    def update(self, audio: np.ndarray, text: tp.List[str], sizes, sample_rates):
+        if self.embed_audio_fn is None or self.embed_text_fn is None:
+            raise RuntimeError(
+                "CLAPTextConsistencyMetric requires local CLAP embeddings; "
+                "pass embed_audio_fn/embed_text_fn.")
+        sr = int(np.asarray(sample_rates).reshape(-1)[0])
+        a = np.asarray(self.embed_audio_fn(np.asarray(audio), sr))
+        t = np.asarray(self.embed_text_fn(list(text)))
+        cos = np.sum(a * t, axis=-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(t, axis=-1) + 1e-8)
+        self.cosine_sum += float(cos.sum())
+        self.weight += len(text)
+
+    def compute(self) -> float:
+        assert self.weight > 0
+        return self.cosine_sum / self.weight

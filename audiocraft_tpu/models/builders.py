@@ -238,3 +238,44 @@ def get_debug_magnet_lm_model() -> tp.Tuple["LMModel", tp.Any]:
         segment_duration=10, span_len=3)
     params = init_lm_params(model, jax.random.PRNGKey(0))
     return model, params
+
+
+def get_debug_jasco_model():
+    """Tiny JASCO for unit tests: flow-matching over debug-codec latents."""
+    import jax.numpy as jnp
+    from ..modules.jasco_conditioners import ChordsEmbConditioner
+    from .flow_matching import FlowMatchingModel
+    from .jasco import JASCO
+
+    compression_model, compression_vars = get_debug_compression_model(32000)
+    dim = 16
+    chords_dim = 8
+    conditioners: tp.Dict[str, tp.Any] = {
+        "description": LUTConditioner(n_bins=128, dim=dim, output_dim=dim,
+                                      tokenizer="whitespace"),
+        "chords": ChordsEmbConditioner(card=194, out_dim=chords_dim),
+    }
+    fuser = ConditionFuser({"cross": ["description"], "prepend": [],
+                            "sum": [], "ignore": ["chords"],
+                            "input_interpolate": []})
+    model = FlowMatchingModel(
+        conditioners=conditioners, fuser=fuser, dim=dim, num_heads=4,
+        flow_dim=32, chords_dim=chords_dim, num_layers=2,
+        skip_connections=True, norm_first=True)
+    # init
+    from ..modules.conditioners import (ConditioningAttributes,
+                                        SymbolicCondition)
+    from ..modules.jasco_conditioners import JascoConditioningProvider
+    import numpy as np
+    attrs = [ConditioningAttributes(
+        text={"description": "init"},
+        symbolic={"chords": SymbolicCondition(
+            frame_chords=np.zeros((8,), np.int32))})]
+    provider = JascoConditioningProvider(conditioners, sequence_length=8)
+    tokenized = provider.tokenize(attrs)
+    latents = jnp.zeros((1, 8, 32))
+    params = model.init(jax.random.PRNGKey(0), latents, jnp.zeros((1,)),
+                        tokenized, method=FlowMatchingModel.init_all)
+    import tempfile
+    return JASCO("debug", compression_model, compression_vars, model, params,
+                 max_duration=1.0)

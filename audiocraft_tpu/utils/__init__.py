@@ -1,0 +1,3 @@
+"""Utilities: sampling, caching, checkpointing, export, effects, profiling."""
+# flake8: noqa
+from . import utils

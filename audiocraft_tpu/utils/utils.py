@@ -126,3 +126,24 @@ def swap_state(params, new_params):
     """Return (new_params, old_params) — functional analogue of the
     reference's `swap_state` context manager (`utils.py:204-223`)."""
     return new_params, params
+
+
+def construct_frame_chords(min_timestamp: int,
+                           chord_changes: tp.List[tp.Tuple[float, str]],
+                           mapping_dict: tp.Dict, prev_chord: str,
+                           frame_rate: float, segment_duration: float
+                           ) -> tp.List[int]:
+    """Symbolic chords [(start_time, chord), ...] -> frame-level int sequence
+    (`utils.py:300-326`)."""
+    frames = [frame / frame_rate
+              for frame in range(min_timestamp,
+                                 int(min_timestamp + segment_duration * frame_rate))]
+    frame_chords = []
+    current_chord = prev_chord
+    chord_changes = list(chord_changes)
+    for frame in frames:
+        while chord_changes and frame >= chord_changes[0][0]:
+            current_chord = chord_changes.pop(0)[1]
+        current_chord = "N" if current_chord in {None, ""} else current_chord
+        frame_chords.append(mapping_dict[current_chord])
+    return frame_chords
