@@ -33,9 +33,11 @@ def load_yaml(path: tp.Union[str, Path]) -> dict:
 
 def load_config(name: str, root: tp.Optional[Path] = None) -> dict:
     """Load `configs/<name>.yaml`, recursively composing its `defaults` list
-    (later entries and the file itself override earlier ones)."""
+    (later entries and the file itself override earlier ones). Relative
+    defaults resolve against the config's own directory first, then the
+    configs root."""
     root = root or CONFIG_ROOT
-    path = root / f"{name}.yaml"
+    path = (root / f"{name}.yaml").resolve()
     raw = load_yaml(path)
     defaults = raw.pop("defaults", [])
     cfg: dict = {}
@@ -43,6 +45,11 @@ def load_config(name: str, root: tp.Optional[Path] = None) -> dict:
         if dep == "_self_":
             _deep_update(cfg, raw)
             raw = {}
+            continue
+        local = (path.parent / f"{dep}.yaml").resolve()
+        if local.exists():
+            dep_name = str(local.relative_to(Path(root).resolve()))[:-5]
+            _deep_update(cfg, load_config(dep_name, root))
         else:
             _deep_update(cfg, load_config(dep, root))
     _deep_update(cfg, raw)

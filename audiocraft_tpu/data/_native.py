@@ -1,0 +1,96 @@
+"""ctypes bindings for the native (C++) data-plane library.
+
+`native/audio_io.cc` provides WAV decode with seek + polyphase resampling
++ fused read-resample-convert — the host-side hot path of `AudioDataset`.
+Falls back gracefully when the library hasn't been built (`make -C native`).
+"""
+import ctypes
+import logging
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB_PATHS = [
+    Path(__file__).parent.parent.parent / "native" / "libaudiocraft_io.so",
+    Path("/usr/local/lib/libaudiocraft_io.so"),
+]
+
+_lib = None
+for p in _LIB_PATHS:
+    if p.exists():
+        try:
+            _lib = ctypes.CDLL(str(p))
+            break
+        except OSError as e:
+            logger.warning("Failed loading native audio lib %s: %s", p, e)
+
+if _lib is not None:
+    _lib.wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_long)]
+    _lib.wav_info.restype = ctypes.c_int
+    _lib.wav_read.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+                              ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+    _lib.wav_read.restype = ctypes.c_long
+    _lib.resample.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+                              ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_int, ctypes.c_float,
+                              ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+    _lib.resample.restype = ctypes.c_long
+    _lib.wav_read_resample.argtypes = [
+        ctypes.c_char_p, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+    _lib.wav_read_resample.restype = ctypes.c_long
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+def wav_info(path: str) -> tp.Tuple[int, int, int]:
+    """(sample_rate, channels, num_frames)."""
+    assert _lib is not None
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = ctypes.c_long()
+    rc = _lib.wav_info(str(path).encode(), ctypes.byref(sr), ctypes.byref(ch),
+                       ctypes.byref(n))
+    if rc != 0:
+        raise RuntimeError(f"native wav_info failed ({rc}) for {path}")
+    return sr.value, ch.value, n.value
+
+
+def wav_read(path: str, seek_time: float = 0.0, duration: float = -1.0
+             ) -> tp.Tuple[np.ndarray, int]:
+    """Decode ([C, T] float32, sample_rate) via the native library."""
+    assert _lib is not None
+    sr, ch, total = wav_info(path)
+    start = int(seek_time * sr)
+    want = int(duration * sr) if duration > 0 else max(total - start, 0)
+    out = np.empty((ch, max(want, 1)), np.float32)
+    got = _lib.wav_read(str(path).encode(), start, want,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        want)
+    if got < 0:
+        raise RuntimeError(f"native wav_read failed ({got}) for {path}")
+    return out[:, :got].copy(), sr
+
+
+def wav_read_resample(path: str, seek_time: float, duration: float,
+                      target_sr: int, target_channels: int) -> np.ndarray:
+    """Fused decode + resample + channel conversion: [C_t, T_t] float32."""
+    assert _lib is not None
+    sr, ch, total = wav_info(path)
+    want_src = int(duration * sr) if duration > 0 else total
+    cap = int(np.ceil(want_src * target_sr / sr)) + 16
+    out = np.empty((target_channels, cap), np.float32)
+    got = _lib.wav_read_resample(
+        str(path).encode(), float(seek_time), float(duration), target_sr,
+        target_channels, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap)
+    if got < 0:
+        raise RuntimeError(f"native wav_read_resample failed ({got}) for {path}")
+    return out[:, :got].copy()

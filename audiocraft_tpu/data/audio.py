@@ -61,6 +61,10 @@ def audio_info(filepath: tp.Union[str, Path]) -> AudioFileInfo:
         raise RuntimeError(
             f"Cannot read {filepath.suffix} without ffmpeg/pyav; only WAV is "
             "supported in this environment.")
+    from . import _native
+    if _native.available():
+        sr, ch, frames = _native.wav_info(str(filepath))
+        return AudioFileInfo(sr, frames / sr, ch)
     with open(filepath, "rb") as f:
         sample_rate, channels, bits, _, _, data_size = _parse_wav_header(f)
         frames = data_size // (channels * (bits // 8))
@@ -77,6 +81,14 @@ def audio_read(filepath: tp.Union[str, Path], seek_time: float = 0.0,
         raise RuntimeError(
             f"Cannot decode {filepath.suffix} without ffmpeg/pyav; only WAV is "
             "supported in this environment.")
+    from . import _native
+    if _native.available():
+        wav, sample_rate = _native.wav_read(str(filepath), seek_time, duration)
+        if duration > 0:
+            expected_frames = int(duration * sample_rate)
+            if pad and wav.shape[-1] < expected_frames:
+                wav = np.pad(wav, ((0, 0), (0, expected_frames - wav.shape[-1])))
+        return wav, sample_rate
     with open(filepath, "rb") as f:
         sample_rate, channels, bits, audio_format, offset, data_size = \
             _parse_wav_header(f)

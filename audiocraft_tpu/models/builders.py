@@ -279,3 +279,37 @@ def get_debug_jasco_model():
     import tempfile
     return JASCO("debug", compression_model, compression_vars, model, params,
                  max_duration=1.0)
+
+
+def get_debug_melody_lm_model() -> tp.Tuple["LMModel", tp.Any]:
+    """Tiny melody-conditioned LM (chroma prepended) for unit tests."""
+    from .lm import init_lm_params
+    from ..modules.conditioners import ChromaStemConditioner
+    dim = 16
+    conditioners: tp.Dict[str, BaseConditioner] = {
+        "description": LUTConditioner(n_bins=128, dim=dim, output_dim=dim,
+                                      tokenizer="whitespace"),
+        "self_wav": ChromaStemConditioner(dim=12, output_dim=dim,
+                                          sample_rate=32000, n_chroma=12,
+                                          radix2_exp=10, duration=1.0),
+    }
+    fuser = ConditionFuser({"cross": ["description"], "prepend": ["self_wav"],
+                            "sum": [], "input_interpolate": []})
+    model = LMModel(pattern_provider=DelayedPatternProvider(n_q=4),
+                    conditioners=conditioners, fuser=fuser, n_q=4, card=400,
+                    dim=dim, num_heads=4, num_layers=2, cross_attention=True,
+                    causal=True)
+    import numpy as np
+    from ..modules.conditioners import ConditioningAttributes, WavCondition
+    from .lm import tokenize_conditions, LMModel as LM
+    import jax.numpy as jnp
+    attrs = [ConditioningAttributes(
+        text={"description": "init"},
+        wav={"self_wav": WavCondition(
+            np.zeros((1, 1, 32000), np.float32), np.array([32000]),
+            sample_rate=[32000], path=[None])})]
+    tokenized = tokenize_conditions(model, attrs)
+    seq = jnp.zeros((1, 4, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), seq, tokenized,
+                        method=LM.init_all)
+    return model, params

@@ -273,7 +273,7 @@ def prepare_cfg_conditions(model: LMModel, params,
         null_conditions = ClassifierFreeGuidanceDropout(p=1.0)(conditions)
         all_conditions = conditions + null_conditions
     tokenized = tokenize_conditions(model, all_conditions)
-    return model.apply(params, tokenized, method=LMModel.compute_conditions)
+    return jit_compute_conditions(model, params, tokenized)
 
 
 def _combine_cfg_logits(all_logits: jax.Array, B: int, cfg_coef: float,
@@ -290,6 +290,28 @@ def _combine_cfg_logits(all_logits: jax.Array, B: int, cfg_coef: float,
 
 
 _GEN_JIT_CACHE: tp.Dict[tp.Any, tp.Any] = {}
+_COND_JIT_CACHE: tp.Dict[int, tp.Any] = {}
+
+
+def jit_compute_conditions(model: LMModel, params, tokenized):
+    """Jitted conditioner forward (eager op dispatch on the axon platform is
+    seconds per op; one compiled program per tokenized shape bucket)."""
+    from ..modules.conditioners import WavCondition
+
+    def sanitize(v):
+        # strip non-array metadata so the pytree only holds jittable leaves
+        if isinstance(v, WavCondition):
+            return WavCondition(jnp.asarray(v.wav), jnp.asarray(v.length),
+                                sample_rate=[], path=[], seek_time=[])
+        return v
+
+    tokenized = {k: sanitize(v) for k, v in tokenized.items()}
+    fn = _COND_JIT_CACHE.get(id(model))
+    if fn is None:
+        fn = jax.jit(lambda p, t: model.apply(p, t,
+                                              method=LMModel.compute_conditions))
+        _COND_JIT_CACHE[id(model)] = fn
+    return fn(params, tokenized)
 
 
 def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,

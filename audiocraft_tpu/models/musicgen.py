@@ -37,8 +37,11 @@ class MusicGen(BaseGenModel):
                  lm_params, max_duration=None, cfg=None):
         super().__init__(name, compression_model, compression_variables,
                          lm, lm_params, max_duration=max_duration, cfg=cfg)
-        # reference defaults (`musicgen.py:54,96-100`)
-        self.set_generation_params(duration=15)
+        # reference defaults (`musicgen.py:54,96-100`); stride clamped for
+        # short-max-duration (debug) models
+        self.set_generation_params(
+            duration=min(15, self.max_duration),
+            extend_stride=min(18, self.max_duration / 2))
 
     @staticmethod
     def get_pretrained(name: str = "facebook/musicgen-melody", **kwargs) -> "MusicGen":
@@ -94,6 +97,35 @@ class MusicGen(BaseGenModel):
     def generate_with_chroma(self, descriptions: tp.List[str],
                              melody_wavs: MelodyType, melody_sample_rate: int,
                              progress: bool = False, return_tokens: bool = False):
-        """Melody-conditioned generation (`musicgen.py:155-191`).
-        Requires the chroma conditioner (round 2: ChromaStemConditioner port)."""
-        raise NotImplementedError("ChromaStemConditioner is not yet ported")
+        """Melody-conditioned generation (`musicgen.py:155-191`)."""
+        import numpy as np
+        from ..data.audio_utils import convert_audio
+        from ..modules.conditioners import WavCondition
+        assert "self_wav" in self.lm.conditioners, \
+            "This model doesn't support melody conditioning."
+        if not isinstance(melody_wavs, (list, tuple)):
+            if np.asarray(melody_wavs).ndim == 2:
+                melody_wavs = np.asarray(melody_wavs)[None]
+            melody_wavs = list(np.asarray(melody_wavs))
+        melody_wavs = [
+            np.asarray(convert_audio(np.asarray(w)[None] if np.asarray(w).ndim == 2
+                                     else np.asarray(w)[None, None],
+                                     melody_sample_rate, self.sample_rate, 1))[0]
+            if w is not None else None
+            for w in melody_wavs]
+        attributes, prompt_tokens = self._prepare_tokens_and_attributes(
+            descriptions, None)
+        assert len(attributes) == len(melody_wavs)
+        for attr, melody in zip(attributes, melody_wavs):
+            if melody is None:
+                attr.wav["self_wav"] = WavCondition(
+                    np.zeros((1, 1, 1), np.float32), np.array([0]),
+                    sample_rate=[self.sample_rate], path=[None])
+            else:
+                attr.wav["self_wav"] = WavCondition(
+                    melody[None], np.array([melody.shape[-1]]),
+                    sample_rate=[self.sample_rate], path=[None])
+        tokens = self._generate_tokens(attributes, prompt_tokens, progress)
+        if return_tokens:
+            return self.generate_audio(tokens), tokens
+        return self.generate_audio(tokens)

@@ -18,6 +18,7 @@ is in this image, so we normalize with lowercase/punctuation-strip only. The
 hash-trick vocabulary is preserved.
 """
 import dataclasses
+import math
 import logging
 import re
 import typing as tp
@@ -558,3 +559,70 @@ class ConditionFuser:
                                       + self.cross_attention_pos_emb_scale
                                       * pos_emb.astype(cross_attention_output.dtype))
         return input, cross_attention_output
+
+
+class ChromaStemConditioner(WaveformConditioner):
+    """Chroma conditioner for melody (`conditioners.py:571-760`).
+
+    Divergence (documented): the reference isolates the melodic stems
+    (vocals+other) with Demucs before chroma extraction
+    (`conditioners.py:596-607`); Demucs is not in this image, so the chroma
+    is computed on the full mix. For best melody transfer pass pre-separated
+    stems or chroma matrices directly.
+    """
+    sample_rate: int = 32000
+    n_chroma: int = 12
+    radix2_exp: int = 12
+    duration: float = 30.0
+    match_len_on_eval: bool = True
+    eval_wavs: tp.Optional[str] = None
+    n_eval_wavs: int = 0
+    cache_path: tp.Optional[str] = None
+
+    def _chroma(self):
+        from .chroma import ChromaExtractor
+        return ChromaExtractor(sample_rate=self.sample_rate,
+                               n_chroma=self.n_chroma,
+                               radix2_exp=self.radix2_exp, argmax=True)
+
+    @property
+    def chroma_len(self) -> int:
+        """Expected chroma frames for the training duration
+        (`conditioners.py:660-666`), computed host-side: center-padded STFT
+        gives 1 + T // hop frames."""
+        T = int(self.sample_rate * self.duration)
+        winhop = (2 ** self.radix2_exp) // 4
+        return 1 + T // winhop
+
+    def tokenize(self, x: WavCondition) -> WavCondition:
+        return x
+
+    def _get_wav_embedding(self, x: WavCondition) -> jax.Array:
+        """wav -> chroma [B, T_chroma, n_chroma] (`conditioners.py:700-740`)."""
+        wav = jnp.asarray(x.wav, jnp.float32)
+        if wav.shape[-1] == 1:
+            # null condition: zero-length wav -> zero chroma frame
+            return jnp.zeros((wav.shape[0], 1, self.n_chroma))
+        chroma = self._chroma()(wav)
+        if self.match_len_on_eval:
+            T = chroma.shape[1]
+            target = self.chroma_len
+            if T > target:
+                chroma = chroma[:, :target]
+            elif T < target:
+                n_repeat = int(math.ceil(target / T))
+                chroma = jnp.tile(chroma, (1, n_repeat, 1))[:, :target]
+        return chroma
+
+    @nn.compact
+    def __call__(self, x: WavCondition) -> ConditionType:
+        chroma = self._get_wav_embedding(x)
+        embeds = nn.Dense(self.output_dim, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          name="output_proj")(chroma.astype(self.dtype))
+        lengths = jnp.asarray(x.length).reshape(-1)
+        # null conditions (length 0) get a zero mask
+        valid = (lengths > 0)[:, None]
+        mask = jnp.ones_like(embeds[..., 0]) * valid
+        embeds = embeds * mask[..., None]
+        return embeds, mask

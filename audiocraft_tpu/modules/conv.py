@@ -94,6 +94,7 @@ class NormConv1d(nn.Module):
     stride: int = 1
     dilation: int = 1
     groups: int = 1
+    padding: int = 0
     use_bias: bool = True
     causal: bool = False
     norm: str = "none"
@@ -127,7 +128,7 @@ class NormConv1d(nn.Module):
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(self.stride,),
-            padding=((0, 0),),
+            padding=((self.padding, self.padding),),
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=self.groups,

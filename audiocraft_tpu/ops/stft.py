@@ -29,6 +29,21 @@ def frame(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
     return x[..., idx]
 
 
+@lru_cache(maxsize=16)
+def _dft_matrices(n_fft: int) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT basis [n_fft, n_fft//2+1] (cos, -sin) for matmul-DFT."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+# n_fft at or below this runs as a matmul-DFT: on TPU the FFT lowering is
+# pathologically slow to compile (~40s/shape on the axon platform) while the
+# [F, n_fft] x [n_fft, n_fft/2+1] matmul maps straight onto the MXU.
+_MATMUL_DFT_MAX_NFFT = 4096
+
+
 def stft(x: jax.Array, n_fft: int, hop_length: int,
          win_length: tp.Optional[int] = None,
          window: tp.Optional[jax.Array] = None, center: bool = True,
@@ -46,7 +61,13 @@ def stft(x: jax.Array, n_fft: int, hop_length: int,
         x = jnp.pad(x, pads, mode=pad_mode)
     frames = frame(x, n_fft, hop_length)           # [..., F, n_fft]
     frames = frames * window
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [..., F, n_fft//2+1]
+    if n_fft <= _MATMUL_DFT_MAX_NFFT:
+        cos_m, sin_m = _dft_matrices(n_fft)
+        re = frames @ jnp.asarray(cos_m)
+        im = frames @ jnp.asarray(sin_m)
+        spec = jax.lax.complex(re, im)             # [..., F, n_fft//2+1]
+    else:
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     if normalized:
         spec = spec / jnp.sqrt(jnp.sum(jnp.square(window)))
     return jnp.swapaxes(spec, -1, -2)              # [..., bins, F]

@@ -288,3 +288,94 @@ class StandardSolver(ABC):
               "evaluate": self.evaluate, "generate": self.generate}[stage_name]
         self.init_ema()
         return fn()
+
+
+class SolverRunMixin:
+    """Shared run loop for the concrete solvers (epoching, logging,
+    checkpointing) — the non-abstract half of StandardSolver for solvers that
+    hold their own device `state` pytree and `run_step`."""
+    cfg: tp.Dict[str, tp.Any]
+    epoch: int = 1
+
+    @property
+    def _folder(self) -> Path:
+        folder = Path(self.cfg.get("folder", "/tmp/audiocraft_tpu/xp"))
+        folder.mkdir(parents=True, exist_ok=True)
+        return folder
+
+    def _iter_split(self, split: str, max_updates: int) -> dict:
+        loader = self.dataloaders.get(split)
+        if loader is None:
+            return {}
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(self.epoch)
+        average: tp.Dict[str, float] = {}
+        count = 0
+        log_every = self.cfg.get("logging", {}).get("log_updates", 10)
+        begin = time.time()
+        for idx, batch in enumerate(loader):
+            if max_updates and idx >= max_updates:
+                break
+            m = self.run_step(idx, batch, {})
+            count += 1
+            for k, v in m.items():
+                try:
+                    average[k] = average.get(k, 0.0) + float(np.asarray(v))
+                except Exception:
+                    pass
+            if (idx + 1) % log_every == 0:
+                speed = (idx + 1) / (time.time() - begin)
+                short = {k: round(average[k] / count, 4)
+                         for k in list(average)[:6]}
+                logger.info("%s epoch %d [%d] %.2f it/s %s", split,
+                            self.epoch, idx + 1, speed, short)
+        return {k: v / max(count, 1) for k, v in average.items()}
+
+    def save_checkpoints(self):
+        import jax as _jax
+        if _jax.process_index() != 0:
+            return
+        path = self._folder / checkpoint.checkpoint_name()
+        checkpoint.save_checkpoint(self.state, path)
+        import json
+        with open(str(path) + ".json", "w") as f:
+            json.dump({"epoch": self.epoch}, f)
+        logger.info("Checkpoint saved to %s", path)
+
+    def restore(self, continue_from: tp.Optional[str] = None) -> bool:
+        path: tp.Optional[Path] = self._folder / checkpoint.checkpoint_name()
+        if continue_from is not None:
+            path = checkpoint.resolve_checkpoint_path(continue_from)
+        if path is None or not Path(path).exists():
+            return False
+        self.state = checkpoint.restore_pytree(path, self.state)
+        import json
+        sidecar = Path(str(path) + ".json")
+        if sidecar.exists():
+            self.epoch = json.loads(sidecar.read_text()).get("epoch", 1)
+        logger.info("Restored from %s (epoch %d)", path, self.epoch)
+        return True
+
+    def run(self):
+        restored = self.restore(self.cfg.get("continue_from"))
+        if restored:
+            self.epoch += 1
+        optim_cfg = self.cfg.get("optim", {})
+        epochs = optim_cfg.get("epochs", 1)
+        updates = optim_cfg.get("updates_per_epoch", 0) or 0
+        history = []
+        while self.epoch <= epochs:
+            logger.info("Starting epoch %d...", self.epoch)
+            metrics = {"train": self._iter_split("train", updates)}
+            if "valid" in getattr(self, "dataloaders", {}):
+                metrics["valid"] = self._iter_split("valid", 0)
+            history.append(metrics)
+            self.save_checkpoints()
+            self.epoch += 1
+        logger.info("Training done.")
+        return history
+
+    def run_one_stage(self, stage_name: str):
+        optim_cfg = self.cfg.get("optim", {})
+        updates = optim_cfg.get("updates_per_epoch", 0) or 0
+        return self._iter_split(stage_name, updates)

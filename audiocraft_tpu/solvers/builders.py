@@ -56,7 +56,7 @@ def get_optimizer(cfg: dict, total_updates: int = 1
                   ) -> optax.GradientTransformation:
     """Optimizer + LR schedule factory (`builders.py:95-139`)."""
     name = cfg.get("optimizer", "adamw")
-    lr = cfg.get("lr", 1e-4)
+    lr = float(cfg.get("lr", 1e-4))
     sched_name = cfg.get("lr_scheduler")
     schedule = get_lr_scheduler(sched_name, lr, total_updates,
                                 cfg.get(sched_name or "", {}) if isinstance(
@@ -109,8 +109,10 @@ def get_audio_datasets(cfg: dict,
         num_workers = split_cfg.pop("num_workers", 2)
         shuffle = split_cfg.pop("shuffle", split == "train")
         split_cfg.pop("num_samples", None)
-        num_samples = dcfg.get(split, {}).get("num_samples", 10000) \
-            if isinstance(dcfg.get(split), dict) else 10000
+        num_samples = dcfg.get(split, {}).get("num_samples") \
+            if isinstance(dcfg.get(split), dict) else None
+        if num_samples is None:
+            num_samples = 10000
         kwargs = dict(
             segment_duration=split_cfg.get("segment_duration"),
             num_samples=num_samples, sample_rate=sample_rate,

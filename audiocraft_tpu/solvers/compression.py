@@ -228,7 +228,10 @@ def make_compression_valid_step(model: EncodecModel,
 
 # ---------------------------------------------------------------- solver
 
-class CompressionSolver:
+from .base import SolverRunMixin
+
+
+class CompressionSolver(SolverRunMixin):
     """EnCodec training solver (`solvers/compression.py:27-328`).
 
     Note: like the reference (`compression.py:40`), parameter sharding (fsdp)
@@ -259,7 +262,7 @@ class CompressionSolver:
         self.adv_losses = get_adversarial_losses(cfg, self.sample_rate)
         self.balancer = Balancer({}, **cfg.get("balancer", {}))
         optim_cfg = cfg.get("optim", {})
-        self.optimizer = optax.adam(optim_cfg.get("lr", 3e-4), b1=0.5, b2=0.9)
+        self.optimizer = optax.adam(float(optim_cfg.get("lr", 3e-4)), b1=0.5, b2=0.9)
         self._step = make_compression_train_step(
             self.model, self.adv_losses, self.aux_losses, loss_weights,
             self.balancer, self.optimizer,

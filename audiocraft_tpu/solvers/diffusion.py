@@ -86,7 +86,10 @@ class DiffusionTrainState:
     proc_state: tp.Any
 
 
-class DiffusionSolver:
+from .base import SolverRunMixin
+
+
+class DiffusionSolver(SolverRunMixin):
     """MBD training solver (`diffusion.py:114-279`)."""
 
     def __init__(self, cfg: dict):
@@ -142,7 +145,7 @@ class DiffusionSolver:
         params = self.model.init(rng, example_x, 0, condition=example_cond)
 
         optim_cfg = cfg.get("optim", {})
-        self.optimizer = optax.adam(optim_cfg.get("lr", 2e-4))
+        self.optimizer = optax.adam(float(optim_cfg.get("lr", 2e-4)))
         self.state = DiffusionTrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             opt_state=self.optimizer.init(params),
@@ -151,6 +154,9 @@ class DiffusionSolver:
                                          cfg.get("metrics", {}).get("num_stage", 4))
         self._rng = rng
         self._step_fn = self._make_step()
+        from . import builders as solver_builders
+        self.dataloaders = solver_builders.get_audio_datasets(
+            cfg, solver_builders.DatasetType.AUDIO) if cfg.get("datasource") else {}
 
     def _next_rng(self):
         self._rng, r = jax.random.split(self._rng)

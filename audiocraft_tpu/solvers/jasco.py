@@ -57,7 +57,10 @@ def make_jasco_train_step(model: FlowMatchingModel,
     return jax.jit(step, donate_argnums=(0,))
 
 
-class JascoSolver:
+from .base import SolverRunMixin
+
+
+class JascoSolver(SolverRunMixin):
     """`solvers/jasco.py:19-287`."""
 
     def __init__(self, cfg: dict):
@@ -69,12 +72,15 @@ class JascoSolver:
         self.compression_variables = jasco.compression_variables
         self.params = jasco.params
         self.jasco = jasco
-        self.optimizer = optax.adamw(cfg.get("optim", {}).get("lr", 1e-4))
+        self.optimizer = optax.adamw(float(cfg.get("optim", {}).get("lr", 1e-4)))
         self.state = JascoTrainState(step=jnp.zeros((), jnp.int32),
                                      params=self.params,
                                      opt_state=self.optimizer.init(self.params))
         self._step = make_jasco_train_step(self.model, self.optimizer)
         self._rng = jax.random.PRNGKey(cfg.get("seed", 2036))
+        from . import builders as solver_builders
+        self.dataloaders = solver_builders.get_audio_datasets(
+            cfg, solver_builders.DatasetType.MUSIC) if cfg.get("datasource") else {}
         self.epoch = 1
 
     def _next_rng(self):

@@ -171,7 +171,10 @@ def mask_padding(codes: jax.Array, padding_mask: jax.Array,
 
 # ---------------------------------------------------------------- solver
 
-class MusicGenSolver:
+from .base import SolverRunMixin
+
+
+class MusicGenSolver(SolverRunMixin):
     """MusicGen training solver (`solvers/musicgen.py:32-749`).
 
     Composes: frozen compression model (encode-only), the LM with

