@@ -148,6 +148,14 @@ def get_lm_model(cfg) -> LMModel:
             codebooks_pattern_cfg = {"modeling": q_modeling,
                                      "delay": {"delays": list(range(n_q))}}
         pattern_provider = get_codebooks_pattern_provider(n_q, codebooks_pattern_cfg)
+        # attention backend selection (`builders.py:141-144` reads
+        # cfg.efficient_attention_backend for torch-vs-xformers; here it
+        # picks xla vs the pallas flash-decode kernel)
+        backend = _get(cfg, "efficient_attention_backend", None)
+        if backend is not None:
+            from ..modules.transformer import set_efficient_attention_backend
+            set_efficient_attention_backend(
+                {"torch": "xla", "xformers": "pallas"}.get(backend, backend))
         # drop reference-only kwargs that have no TPU equivalent
         for k in ("custom", "memory_efficient", "norm", "emb_lr"):
             kwargs.pop(k, None)

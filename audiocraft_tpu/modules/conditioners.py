@@ -626,3 +626,147 @@ class ChromaStemConditioner(WaveformConditioner):
         mask = jnp.ones_like(embeds[..., 0]) * valid
         embeds = embeds * mask[..., None]
         return embeds, mask
+
+
+class FeatureExtractor(WaveformConditioner):
+    """Style feature extractor (`conditioners.py:762-870`): a random excerpt
+    of the conditioning wav is encoded with a frozen EnCodec (its tokens
+    embedded and summed) — the front end of the StyleConditioner.
+
+    The codec model + variables are attached post-construction via
+    `bind_feat_extractor` (they are frozen and live outside the param tree).
+    """
+    model_name: str = "encodec"
+    sample_rate: int = 32000
+    encodec_n_q: int = 4
+    length: float = 3.0
+    compute_mask: bool = True
+    use_middle_of_segment: bool = False
+    ds_rate_compression: int = 640
+    num_codebooks_lm: int = 4
+    feat_cardinality: int = 2048
+
+    def _excerpt(self, wav: jax.Array, rng: np.random.RandomState
+                 ) -> jax.Array:
+        length_subwav = int(self.length * self.sample_rate)
+        T = wav.shape[-1]
+        if T <= length_subwav:
+            pad = length_subwav - T
+            return jnp.pad(wav, ((0, 0), (0, 0), (0, pad)))
+        if self.use_middle_of_segment:
+            start = (T - length_subwav) // 2
+        else:
+            start = rng.randint(0, T - length_subwav)
+        return jax.lax.dynamic_slice_in_dim(wav, start, length_subwav, axis=-1)
+
+    def tokenize(self, x: WavCondition) -> tp.Any:
+        """Host-side: excerpt + frozen codec encode -> codes [B, n_q, Tf]."""
+        codec = getattr(self, "_codec", None)
+        assert codec is not None, \
+            "call bind_feat_extractor(conditioner, model, variables) first"
+        model, variables = codec
+        wav = jnp.asarray(x.wav, jnp.float32)
+        if wav.shape[-1] == 1:  # null condition
+            return {"codes": np.zeros((wav.shape[0], self.encodec_n_q, 1),
+                                      np.int32), "null": True}
+        rng = np.random.RandomState()
+        excerpt = self._excerpt(wav, rng)
+        codes, _ = model.encode(variables, excerpt)
+        return {"codes": np.asarray(codes[:, :self.encodec_n_q]), "null": False}
+
+    @nn.compact
+    def __call__(self, tokenized) -> ConditionType:
+        codes = jnp.asarray(tokenized["codes"])  # [B, n_q, T]
+        table = self.param("embed", nn.initializers.normal(1.0),
+                           (self.encodec_n_q, self.feat_cardinality, self.dim),
+                           self.param_dtype)
+        gathered = jnp.take_along_axis(table[None], codes[..., None], axis=2)
+        embeds = jnp.sum(gathered, axis=1)  # [B, T, dim]
+        mask = jnp.ones_like(embeds[..., 0])
+        return embeds, mask
+
+
+class StyleConditioner(FeatureExtractor):
+    """Discrete-bottleneck style conditioner (`conditioners.py:872-1004`):
+    feature extractor -> transformer -> RVQ bottleneck (eval_q streams at
+    eval) -> downsample -> projection.
+
+    The RVQ codebook state is a variable collection ('quantizer'), mutable at
+    training time.
+    """
+    transformer_scale: str = "default"
+    ds_factor: int = 15
+    n_q_out: int = 6
+    eval_q: int = 3
+    q_dropout: bool = True
+    bins: int = 1024
+    varying_lengths: tp.Tuple[float, float] = (1.5, 4.5)
+    batch_norm: bool = True
+    rvq_threshold_ema_dead_code: float = 0.1
+
+    _TR_ARGS: tp.ClassVar[dict] = {
+        "xsmall": {"d_model": 256, "num_heads": 8, "num_layers": 4},
+        "large": {"d_model": 1024, "num_heads": 16, "num_layers": 24},
+        "default": {"d_model": 512, "num_heads": 8, "num_layers": 8},
+        "none": {"d_model": 512},
+    }
+
+    @nn.compact
+    def __call__(self, tokenized, training: bool = False) -> ConditionType:
+        from ..quantization import ResidualVectorQuantizer
+        from .transformer import StreamingTransformer
+        tr_args = dict(self._TR_ARGS[self.transformer_scale])
+        dim = tr_args["d_model"]
+
+        codes = jnp.asarray(tokenized["codes"])
+        table = self.param("embed", nn.initializers.normal(1.0),
+                           (self.encodec_n_q, self.feat_cardinality, dim),
+                           self.param_dtype)
+        gathered = jnp.take_along_axis(table[None], codes[..., None], axis=2)
+        z = jnp.sum(gathered, axis=1)  # [B, T, dim]
+
+        if self.transformer_scale != "none":
+            z, _ = StreamingTransformer(
+                dim_feedforward=int(4 * dim), activation="gelu",
+                norm_first=True, causal=False, use_bias_ff=False,
+                use_bias_attn=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="transformer",
+                **tr_args)(z)
+        if self.batch_norm:
+            # affine-free feature standardization (stabilizes training)
+            mean = jnp.mean(z, axis=(0, 1), keepdims=True)
+            var = jnp.var(z, axis=(0, 1), keepdims=True)
+            z = (z - mean) / jnp.sqrt(var + 1e-5)
+        if self.n_q_out > 0:
+            rvq = ResidualVectorQuantizer(
+                dimension=dim, n_q=self.n_q_out, q_dropout=self.q_dropout,
+                bins=self.bins,
+                threshold_ema_dead_code=self.rvq_threshold_ema_dead_code,
+                kmeans_init=False)
+            qstate = self.variable(
+                "quantizer", "style_rvq",
+                lambda: rvq.init(jax.random.PRNGKey(0)))
+            if training:
+                qres, new_state = rvq.forward(qstate.value, z, frame_rate=1,
+                                              training=True,
+                                              rng=jax.random.PRNGKey(1))
+                qstate.value = new_state
+                z = qres.x
+            else:
+                rvq.set_num_codebooks(self.eval_q)
+                codes_q = rvq.encode(qstate.value, z)
+                z = rvq.decode(qstate.value, codes_q)
+        # temporal downsampling by ds_factor (`conditioners.py:986-992`)
+        z = z[:, ::self.ds_factor]
+        embeds = self._output_proj(z)
+        mask = jnp.ones_like(embeds[..., 0])
+        if tokenized.get("null"):
+            mask = mask * 0
+            embeds = embeds * 0
+        return embeds, mask
+
+
+def bind_feat_extractor(conditioner: FeatureExtractor, model, variables):
+    """Attach the frozen codec used by FeatureExtractor/StyleConditioner."""
+    object.__setattr__(conditioner, "_codec", (model, variables))
+    return conditioner
