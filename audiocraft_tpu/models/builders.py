@@ -109,6 +109,17 @@ def get_conditioners(output_dim: int, cfg) -> tp.Dict[str, BaseConditioner]:
             conditioners[str(cond)] = T5Conditioner(output_dim=output_dim, **model_args)
         elif model_type == "lut":
             conditioners[str(cond)] = LUTConditioner(output_dim=output_dim, **model_args)
+        elif model_type == "chroma_stem":
+            from ..modules.conditioners import ChromaStemConditioner
+            model_args.pop("cache_path", None)
+            model_args.pop("device", None)
+            conditioners[str(cond)] = ChromaStemConditioner(
+                output_dim=output_dim, **model_args)
+        elif model_type == "style":
+            from ..modules.conditioners import StyleConditioner
+            model_args.pop("device", None)
+            conditioners[str(cond)] = StyleConditioner(
+                output_dim=output_dim, **model_args)
         else:
             raise ValueError(f"Unrecognized conditioning model: {model_type}")
     return conditioners
@@ -227,6 +238,24 @@ def get_debug_lm_model() -> tp.Tuple[LMModel, tp.Any]:
     return model, params
 
 
+def get_debug_stereo_lm_model() -> tp.Tuple[LMModel, tp.Any]:
+    """Tiny LM over interleaved stereo codebooks (2x mono n_q)."""
+    from .lm import init_lm_params
+    dim = 16
+    conditioners: tp.Dict[str, BaseConditioner] = {
+        "description": LUTConditioner(n_bins=128, dim=dim, output_dim=dim,
+                                      tokenizer="whitespace"),
+    }
+    fuser = ConditionFuser({"cross": ["description"], "prepend": [],
+                            "sum": [], "input_interpolate": []})
+    model = LMModel(pattern_provider=DelayedPatternProvider(n_q=8),
+                    conditioners=conditioners, fuser=fuser, n_q=8, card=400,
+                    dim=dim, num_heads=4, num_layers=2, cross_attention=True,
+                    causal=True)
+    params = init_lm_params(model, jax.random.PRNGKey(0))
+    return model, params
+
+
 def get_debug_magnet_lm_model() -> tp.Tuple["LMModel", tp.Any]:
     """Tiny MAGNeT LM for unit tests: parallel pattern, non-causal."""
     from .lm import init_lm_params
@@ -287,6 +316,44 @@ def get_debug_jasco_model():
     import tempfile
     return JASCO("debug", compression_model, compression_vars, model, params,
                  max_duration=1.0)
+
+
+def get_debug_style_lm_model() -> tp.Tuple["LMModel", tp.Any]:
+    """Tiny style-conditioned LM (MusicGen-Style shape: style tokens
+    prepended, text cross-attended) for unit tests."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .lm import init_lm_params, tokenize_conditions, LMModel as LM
+    from ..modules.conditioners import (ConditioningAttributes, StyleConditioner,
+                                        WavCondition, bind_feat_extractor)
+    dim = 16
+    codec, codec_vars = get_debug_compression_model(sample_rate=32000)
+    style = StyleConditioner(dim=256, output_dim=dim, sample_rate=32000,
+                             transformer_scale="xsmall", ds_factor=2,
+                             n_q_out=3, eval_q=2, length=0.05,
+                             encodec_n_q=4, bins=64)
+    bind_feat_extractor(style, codec, codec_vars)
+    conditioners: tp.Dict[str, BaseConditioner] = {
+        "description": LUTConditioner(n_bins=128, dim=dim, output_dim=dim,
+                                      tokenizer="whitespace"),
+        "self_wav": style,
+    }
+    fuser = ConditionFuser({"cross": ["description"], "prepend": ["self_wav"],
+                            "sum": [], "input_interpolate": []})
+    model = LMModel(pattern_provider=DelayedPatternProvider(n_q=4),
+                    conditioners=conditioners, fuser=fuser, n_q=4, card=400,
+                    dim=dim, num_heads=4, num_layers=2, cross_attention=True,
+                    causal=True)
+    attrs = [ConditioningAttributes(
+        text={"description": "init"},
+        wav={"self_wav": WavCondition(
+            np.zeros((1, 1, 3200), np.float32), np.array([3200]),
+            sample_rate=[32000], path=[None])})]
+    tokenized = tokenize_conditions(model, attrs)
+    seq = jnp.zeros((1, 4, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), seq, tokenized,
+                        method=LM.init_all)
+    return model, params
 
 
 def get_debug_melody_lm_model() -> tp.Tuple["LMModel", tp.Any]:

@@ -33,6 +33,12 @@ class BaseGenModel(ABC):
         self.lm = lm
         self.lm_params = lm_params
         self.cfg = cfg
+        if cfg is not None:
+            # stereo checkpoints carry interleave_stereo_codebooks in their
+            # cfg; wrap like the reference (`genmodel.py:53-56`)
+            from .builders import get_wrapped_compression_model
+            self.compression_model = get_wrapped_compression_model(
+                self.compression_model, cfg)
 
         if max_duration is None and cfg is not None:
             max_duration = cfg["dataset"]["segment_duration"]

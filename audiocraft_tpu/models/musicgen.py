@@ -47,11 +47,20 @@ class MusicGen(BaseGenModel):
     def get_pretrained(name: str = "facebook/musicgen-melody", **kwargs) -> "MusicGen":
         """Load a pretrained or debug MusicGen (`musicgen.py:56-94`)."""
         from . import loaders
-        if name == "debug":
+        if name in ("debug", "debug-melody", "debug-style", "debug-stereo"):
             from . import builders
             compression_model, compression_vars = \
                 builders.get_debug_compression_model()
-            lm, lm_params = builders.get_debug_lm_model()
+            lm, lm_params = {
+                "debug": builders.get_debug_lm_model,
+                "debug-melody": builders.get_debug_melody_lm_model,
+                "debug-style": builders.get_debug_style_lm_model,
+                "debug-stereo": builders.get_debug_stereo_lm_model,
+            }[name]()
+            if name == "debug-stereo":
+                from .encodec import InterleaveStereoCompressionModel
+                compression_model = InterleaveStereoCompressionModel(
+                    compression_model)
             return MusicGen(name, compression_model, compression_vars,
                             lm, lm_params, max_duration=30)
         name = HF_MODEL_CHECKPOINTS_MAP.get(name, name)
@@ -88,11 +97,30 @@ class MusicGen(BaseGenModel):
                                      excerpt_length: float = 3.0,
                                      ds_factor: tp.Optional[int] = None,
                                      encodec_n_q: tp.Optional[int] = None):
-        """MusicGen-Style conditioner knobs (`musicgen.py:136-153`).
-        Requires a style conditioner (round 2: StyleConditioner port)."""
-        assert "self_wav" in self.lm.conditioners, \
-            "This method only works with MusicGen-Style"
-        raise NotImplementedError("StyleConditioner is not yet ported")
+        """MusicGen-Style conditioner knobs (`musicgen.py:136-153`)."""
+        from ..modules.conditioners import StyleConditioner, set_style_params
+        from .lm import _COND_JIT_CACHE
+        cond = self.lm.conditioners.get("self_wav")
+        assert isinstance(cond, StyleConditioner), \
+            "Only use this function if your model is MusicGen-Style"
+        set_style_params(cond, eval_q=eval_q, excerpt_length=excerpt_length,
+                         ds_factor=ds_factor, encodec_n_q=encodec_n_q)
+        # the conditioner program was traced against the old field values
+        _COND_JIT_CACHE.pop(id(self.lm), None)
+
+    def _prepare_tokens_and_attributes(self, descriptions, prompt):
+        """Adds a null `self_wav` condition for wav-conditioned models when
+        no melody/style audio is given (`musicgen.py:262-270`)."""
+        import numpy as np
+        from ..modules.conditioners import WavCondition
+        attributes, prompt_tokens = super()._prepare_tokens_and_attributes(
+            descriptions, prompt)
+        if "self_wav" in self.lm.conditioners:
+            for attr in attributes:
+                attr.wav["self_wav"] = WavCondition(
+                    np.zeros((1, 1, 1), np.float32), np.array([0]),
+                    sample_rate=[self.sample_rate], path=[None])
+        return attributes, prompt_tokens
 
     def generate_with_chroma(self, descriptions: tp.List[str],
                              melody_wavs: MelodyType, melody_sample_rate: int,

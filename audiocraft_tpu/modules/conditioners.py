@@ -660,19 +660,26 @@ class FeatureExtractor(WaveformConditioner):
         return jax.lax.dynamic_slice_in_dim(wav, start, length_subwav, axis=-1)
 
     def tokenize(self, x: WavCondition) -> tp.Any:
-        """Host-side: excerpt + frozen codec encode -> codes [B, n_q, Tf]."""
+        """Host-side: excerpt + frozen codec encode -> codes [B, n_q, Tf].
+
+        `valid` is a per-sample [B, 1] float flag (null conditions — dropped
+        or absent wavs — have length <= 1); the device side multiplies by it
+        instead of branching so the program stays jittable.
+        """
         codec = getattr(self, "_codec", None)
         assert codec is not None, \
             "call bind_feat_extractor(conditioner, model, variables) first"
         model, variables = codec
         wav = jnp.asarray(x.wav, jnp.float32)
-        if wav.shape[-1] == 1:  # null condition
+        valid = (np.asarray(x.length).reshape(-1, 1) > 1).astype(np.float32)
+        if wav.shape[-1] <= 1:  # all-null batch: skip the codec entirely
             return {"codes": np.zeros((wav.shape[0], self.encodec_n_q, 1),
-                                      np.int32), "null": True}
+                                      np.int32), "valid": valid}
         rng = np.random.RandomState()
         excerpt = self._excerpt(wav, rng)
         codes, _ = model.encode(variables, excerpt)
-        return {"codes": np.asarray(codes[:, :self.encodec_n_q]), "null": False}
+        n_q = getattr(self, "_encodec_n_q_used", self.encodec_n_q)
+        return {"codes": np.asarray(codes[:, :n_q]), "valid": valid}
 
     @nn.compact
     def __call__(self, tokenized) -> ConditionType:
@@ -680,9 +687,14 @@ class FeatureExtractor(WaveformConditioner):
         table = self.param("embed", nn.initializers.normal(1.0),
                            (self.encodec_n_q, self.feat_cardinality, self.dim),
                            self.param_dtype)
-        gathered = jnp.take_along_axis(table[None], codes[..., None], axis=2)
+        # tolerate a post-hoc encodec_n_q reduction (set_params): use the
+        # first codes.shape[1] stream tables
+        gathered = jnp.take_along_axis(table[None, :codes.shape[1]],
+                                       codes[..., None], axis=2)
         embeds = jnp.sum(gathered, axis=1)  # [B, T, dim]
-        mask = jnp.ones_like(embeds[..., 0])
+        valid = jnp.asarray(tokenized["valid"])          # [B, 1]
+        embeds = embeds * valid[..., None]
+        mask = jnp.ones_like(embeds[..., 0]) * valid
         return embeds, mask
 
 
@@ -722,7 +734,8 @@ class StyleConditioner(FeatureExtractor):
         table = self.param("embed", nn.initializers.normal(1.0),
                            (self.encodec_n_q, self.feat_cardinality, dim),
                            self.param_dtype)
-        gathered = jnp.take_along_axis(table[None], codes[..., None], axis=2)
+        gathered = jnp.take_along_axis(table[None, :codes.shape[1]],
+                                       codes[..., None], axis=2)
         z = jnp.sum(gathered, axis=1)  # [B, T, dim]
 
         if self.transformer_scale != "none":
@@ -759,11 +772,34 @@ class StyleConditioner(FeatureExtractor):
         # temporal downsampling by ds_factor (`conditioners.py:986-992`)
         z = z[:, ::self.ds_factor]
         embeds = self._output_proj(z)
-        mask = jnp.ones_like(embeds[..., 0])
-        if tokenized.get("null"):
-            mask = mask * 0
-            embeds = embeds * 0
+        valid = jnp.asarray(tokenized["valid"])          # [B, 1]
+        embeds = embeds * valid[..., None]
+        mask = jnp.ones_like(embeds[..., 0]) * valid
         return embeds, mask
+
+
+def set_style_params(conditioner: "StyleConditioner", *, eval_q: int = 3,
+                     excerpt_length: float = 3.0,
+                     ds_factor: tp.Optional[int] = None,
+                     encodec_n_q: tp.Optional[int] = None) -> None:
+    """Post-hoc style-bottleneck knobs (`conditioners.py:957-970` set_params).
+
+    Mutates the (frozen dataclass) module fields in place; param shapes are
+    unaffected (eval_q <= n_q_out selects RVQ streams at decode, encodec_n_q
+    may only shrink — the embed table is sliced). Callers must invalidate any
+    jitted conditioner programs traced against the old values.
+    """
+    assert eval_q <= conditioner.n_q_out
+    object.__setattr__(conditioner, "eval_q", eval_q)
+    object.__setattr__(conditioner, "length", excerpt_length)
+    if ds_factor is not None:
+        object.__setattr__(conditioner, "ds_factor", ds_factor)
+    if encodec_n_q is not None:
+        # the embed table shape is fixed by init-time encodec_n_q; a runtime
+        # reduction slices both the codes and the table
+        assert encodec_n_q <= conditioner.encodec_n_q, \
+            "encodec_n_q can only be reduced after init"
+        object.__setattr__(conditioner, "_encodec_n_q_used", encodec_n_q)
 
 
 def bind_feat_extractor(conditioner: FeatureExtractor, model, variables):

@@ -66,6 +66,37 @@ def test_generate_long_window():
     assert wav.shape[2] == tokens.shape[-1] * HOP
 
 
+def test_generate_stereo():
+    """Interleaved-stereo preset: 2-channel audio from 2x-n_q codes
+    (cf. reference `test_musicgen.py` stereo cases)."""
+    mg = MusicGen.get_pretrained("debug-stereo")
+    mg.set_generation_params(duration=0.25, top_k=10)
+    assert mg.audio_channels == 2
+    assert mg.compression_model.num_codebooks == 8
+    wav, tokens = mg.generate(["stereo"], return_tokens=True)
+    n_tok = int(0.25 * 25)
+    assert tokens.shape == (1, 8, n_tok)
+    assert list(wav.shape) == [1, 2, n_tok * HOP]
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_generate_style_and_set_params():
+    """MusicGen-Style preset: style-conditioned generation + runtime
+    bottleneck knobs (reference `musicgen.py:134-153`)."""
+    mg = MusicGen.get_pretrained("debug-style")
+    mg.set_generation_params(duration=0.25, top_k=10)
+    ref = np.random.RandomState(0).randn(1, 1, 16000).astype(np.float32)
+    wav = np.asarray(mg.generate_with_chroma(["styled"], ref, 32000))
+    assert wav.shape[0] == 1 and np.isfinite(wav).all()
+    mg.set_style_conditioner_params(eval_q=1, excerpt_length=0.03,
+                                    ds_factor=3, encodec_n_q=2)
+    wav2 = np.asarray(mg.generate_with_chroma(["styled"], ref, 32000))
+    assert wav2.shape == wav.shape and np.isfinite(wav2).all()
+    # text-only (null style) still generates
+    wav3 = np.asarray(mg.generate(["plain"]))
+    assert wav3.shape == wav.shape
+
+
 def test_determinism_with_seed(mg):
     mg.set_seed(42)
     w1 = np.asarray(mg.generate(["jazz"]))
