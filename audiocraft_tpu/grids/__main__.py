@@ -13,8 +13,27 @@ import sys
 from ._base_explorers import BaseExplorer
 
 
+def list_grids():
+    import pkgutil
+    import audiocraft_tpu.grids as grids_pkg
+    names = []
+    for family in pkgutil.iter_modules(grids_pkg.__path__):
+        if not family.ispkg:
+            continue
+        sub = importlib.import_module(f"audiocraft_tpu.grids.{family.name}")
+        for mod in pkgutil.iter_modules(sub.__path__):
+            if not mod.name.startswith("_"):
+                names.append(f"{family.name}.{mod.name}")
+    return sorted(names)
+
+
 def find_explorer(module_name: str) -> BaseExplorer:
-    mod = importlib.import_module(f"audiocraft_tpu.grids.{module_name}")
+    try:
+        mod = importlib.import_module(f"audiocraft_tpu.grids.{module_name}")
+    except ModuleNotFoundError:
+        avail = "\n  ".join(list_grids())
+        raise SystemExit(
+            f"unknown grid {module_name!r}; available grids:\n  {avail}")
     for attr in vars(mod).values():
         if isinstance(attr, BaseExplorer):
             return attr

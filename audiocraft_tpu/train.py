@@ -76,6 +76,16 @@ def init_seed_and_system(cfg: dict):
     random.seed(seed)
     np.random.seed(seed)
     logger.info("Setting seed %d", seed)
+    # persistent XLA compile cache: restarts/resumes skip the big compiles
+    import jax
+    cache_dir = cfg.get("compile_cache_dir") or os.environ.get(
+        "AUDIOCRAFT_COMPILE_CACHE", str(Path.home() / ".cache/audiocraft_tpu/xla"))
+    try:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        logger.warning("compile cache disabled: %s", e)
 
 
 def main(argv: tp.Optional[tp.List[str]] = None):
