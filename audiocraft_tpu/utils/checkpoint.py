@@ -86,9 +86,9 @@ def load_flat(path: Path) -> tp.Dict[str, np.ndarray]:
         return {k: data[k] for k in data.files}
 
 
-def restore_pytree(path: Path, template):
-    """Load an npz into the structure of `template` (shapes must match)."""
-    flat = load_flat(path)
+def unflatten_like(template, flat: tp.Dict[str, "np.ndarray"]):
+    """Arrange a flat {'a/b/c': array} dict into `template`'s structure
+    (shapes must match)."""
     paths_and_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
     treedef = jax.tree_util.tree_structure(template)
     leaves = []
@@ -99,6 +99,11 @@ def restore_pytree(path: Path, template):
         assert arr.shape == tuple(getattr(leaf, "shape", ())), (key, arr.shape)
         leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def restore_pytree(path: Path, template):
+    """Load an npz into the structure of `template` (shapes must match)."""
+    return unflatten_like(template, load_flat(path))
 
 
 def save_checkpoint(state, path: tp.Union[Path, str], is_sharded: bool = False):

@@ -194,6 +194,114 @@ def convert_encodec_state(src: dict, *, ratios: tp.Sequence[int],
     return {"params": params, "quantizer": convert_rvq(src, "quantizer.", n_q)}
 
 
+def convert_hf_encodec_state(src: dict, *, ratios: tp.Sequence[int],
+                             n_residual_layers: int, lstm: int, n_q: int
+                             ) -> dict:
+    """HF `transformers.EncodecModel` state dict -> our variables pytree.
+
+    HF and audiocraft enumerate the SEANet Sequential identically; only leaf
+    naming differs (`encoder.layers.N.conv.parametrizations.weight.original0/1`
+    vs `encoder.model.N.conv.conv.weight_g/v`, transposed convs named `conv`,
+    `quantizer.layers.q.codebook.*` vs `quantizer.vq.layers.q._codebook.*`).
+    Rename to audiocraft convention, then reuse `convert_encodec_state`.
+    """
+    up_idx = {idx for idx, name in _seanet_index_map(
+                  ratios, n_residual_layers, lstm, encoder=False).items()
+              if name.startswith("up_")}
+    renamed = {}
+    for key, val in src.items():
+        k = key
+        k = k.replace(".parametrizations.weight.original0", ".weight_g")
+        k = k.replace(".parametrizations.weight.original1", ".weight_v")
+        k = k.replace("quantizer.layers.", "quantizer.vq.layers.")
+        k = k.replace(".codebook.", "._codebook.")
+        for tower in ("encoder", "decoder"):
+            if k.startswith(f"{tower}.layers."):
+                k = k.replace(f"{tower}.layers.", f"{tower}.model.", 1)
+                parts = k.split(".")
+                idx = int(parts[2])
+                if "lstm" in k:
+                    break
+                # duplicate the conv module name (StreamableConv1d wraps
+                # NormConv1d wraps Conv1d in audiocraft naming)
+                if tower == "decoder" and idx in up_idx and parts[3] == "conv":
+                    parts[3] = "convtr.convtr"
+                else:
+                    # top-level conv, block conv, or shortcut conv
+                    ci = parts.index("conv")
+                    parts[ci] = "conv.conv"
+                k = ".".join(parts)
+                break
+        renamed[k] = val
+    true_skip = not any("shortcut" in k for k in renamed)
+    return convert_encodec_state(renamed, ratios=ratios,
+                                 n_residual_layers=n_residual_layers,
+                                 lstm=lstm, n_q=n_q, true_skip=true_skip)
+
+
+def load_hf_encodec_from_dir(path: Path):
+    """Load an HF EnCodec snapshot dir (config.json + weights) into
+    (EncodecModel, variables) — covers facebook/encodec_24khz/32khz, the
+    codecs MusicGen/AudioGen checkpoints ship with."""
+    import json
+    from ..models.encodec import EncodecModel
+    from ..modules.seanet import SEANetDecoder, SEANetEncoder
+    from ..quantization import ResidualVectorQuantizer
+
+    path = Path(path)
+    cfg = json.loads((path / "config.json").read_text())
+    assert cfg.get("model_type") == "encodec", cfg.get("model_type")
+    weights = None
+    if (path / "model.safetensors").exists():
+        from safetensors import safe_open  # bundled with transformers
+        src = {}
+        with safe_open(path / "model.safetensors", framework="np") as f:
+            for k in f.keys():
+                src[k] = f.get_tensor(k)
+    else:
+        import torch
+        cand = next(p for p in ("pytorch_model.bin", "model.bin")
+                    if (path / p).exists())
+        weights = torch.load(path / cand, map_location="cpu",
+                             weights_only=True)
+        src = {k: v.numpy() for k, v in weights.items()}
+
+    ratios = list(cfg["upsampling_ratios"])
+    nres = cfg.get("num_residual_layers", 1)
+    lstm = cfg.get("num_lstm_layers", 2)
+    n_q = len({k.split(".")[2] for k in src if k.startswith("quantizer.")})
+    dim = cfg.get("hidden_size", 128)
+    sr = cfg.get("sampling_rate", 32000)
+    channels = cfg.get("audio_channels", 1)
+    true_skip = not cfg.get("use_conv_shortcut", True)
+
+    kw = dict(channels=channels, dimension=dim,
+              n_filters=cfg.get("num_filters", 32), n_residual_layers=nres,
+              ratios=tuple(ratios), lstm=lstm,
+              kernel_size=cfg.get("kernel_size", 7),
+              last_kernel_size=cfg.get("last_kernel_size", 7),
+              residual_kernel_size=cfg.get("residual_kernel_size", 3),
+              dilation_base=cfg.get("dilation_growth_rate", 2),
+              causal=cfg.get("use_causal_conv", True),
+              true_skip=true_skip,
+              norm="weight_norm" if cfg.get("norm_type") == "weight_norm"
+              else "none")
+    import math
+    hop = int(np.prod(ratios))
+    model = EncodecModel(SEANetEncoder(**kw), SEANetDecoder(**kw),
+                         ResidualVectorQuantizer(
+                             dimension=dim, n_q=n_q,
+                             bins=cfg.get("codebook_size", 1024),
+                             kmeans_init=False),
+                         frame_rate=math.ceil(sr / hop), sample_rate=sr,
+                         channels=channels,
+                         renormalize=cfg.get("normalize", False))
+    variables = convert_hf_encodec_state(src, ratios=ratios,
+                                         n_residual_layers=nres, lstm=lstm,
+                                         n_q=n_q)
+    return model, variables
+
+
 # ----------------------------------------------------------------- LM maps
 
 def convert_lm_state(src: dict, *, n_q: int, num_layers: int,
@@ -287,16 +395,19 @@ def load_compression_model_from_dir(path: Path):
     from ..models import builders
     path = Path(path)
     if path.is_dir():
-        cands = list(path.glob("*.th")) + list(path.glob("compression_state_dict.bin"))
+        cands = (list(path.glob("*.th")) + list(path.glob("*.npz"))
+                 + list(path.glob("compression_state_dict.bin")))
         assert cands, f"no checkpoint found in {path}"
         path = cands[0]
     if path.suffix == ".npz":
+        # our own exported inference package (utils/export.py)
+        import jax
         from .export import load_exported
+        from .checkpoint import unflatten_like
         flat, cfg = load_exported(path)
         model = builders.get_compression_model(cfg)
-        variables = model.init(__import__("jax").random.PRNGKey(0))
-        from .checkpoint import restore_pytree
-        raise NotImplementedError("npz compression restore: use restore_pytree")
+        template = model.init(jax.random.PRNGKey(0))
+        return model, unflatten_like(template, flat)
     state, cfg = _load_torch_state(path)
     cfg = cfg or {}
     # audiocraft exports save the full solver cfg with `seanet`/`rvq`/
