@@ -356,6 +356,20 @@ class SolverRunMixin:
         logger.info("Restored from %s (epoch %d)", path, self.epoch)
         return True
 
+    def should_run_stage(self, stage: str) -> bool:
+        """`base.py:478-487`: on the last epoch, or every `stage.every`."""
+        is_last = self.epoch == self.cfg.get("optim", {}).get("epochs", 1)
+        every = self.cfg.get(stage, {}).get("every", None)
+        return is_last or (every is not None and self.epoch % every == 0)
+
+    def evaluate(self) -> dict:
+        """Override for task eval metrics (`base.py:199`)."""
+        return {}
+
+    def generate(self) -> dict:
+        """Override for sample generation (`base.py:203`)."""
+        return {}
+
     def run(self):
         restored = self.restore(self.cfg.get("continue_from"))
         if restored:
@@ -364,11 +378,19 @@ class SolverRunMixin:
         epochs = optim_cfg.get("epochs", 1)
         updates = optim_cfg.get("updates_per_epoch", 0) or 0
         history = []
+        execute_only = self.cfg.get("execute_only")
+        if execute_only:
+            logger.info("Running single stage: %s", execute_only)
+            return [{execute_only: self.run_one_stage(execute_only)}]
         while self.epoch <= epochs:
             logger.info("Starting epoch %d...", self.epoch)
             metrics = {"train": self._iter_split("train", updates)}
             if "valid" in getattr(self, "dataloaders", {}):
                 metrics["valid"] = self._iter_split("valid", 0)
+            if self.should_run_stage("evaluate"):
+                metrics["evaluate"] = self.evaluate()
+            if self.should_run_stage("generate"):
+                metrics["generate"] = self.generate()
             history.append(metrics)
             self.save_checkpoints()
             self.epoch += 1
@@ -376,6 +398,10 @@ class SolverRunMixin:
         return history
 
     def run_one_stage(self, stage_name: str):
+        if stage_name == "evaluate":
+            return self.evaluate()
+        if stage_name == "generate":
+            return self.generate()
         optim_cfg = self.cfg.get("optim", {})
         updates = optim_cfg.get("updates_per_epoch", 0) or 0
         return self._iter_split(stage_name, updates)

@@ -8,10 +8,12 @@ the reference's run_step does with several backwards:
   * penalty gradient folded into the same vjp pull (tuple cotangent), matching
     `other_loss.backward(retain_graph=True)` + `balancer.backward`.
 """
+import logging
 import typing as tp
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -22,6 +24,8 @@ from ..adversarial import (AdversarialLoss, AdversaryState,
 from ..losses import (Balancer, BalancerState, MRSTFTLoss,
                       MelSpectrogramL1Loss, MultiScaleMelSpectrogramLoss, SISNR)
 from ..models.encodec import EncodecModel
+
+logger = logging.getLogger(__name__)
 
 
 @struct.dataclass
@@ -294,6 +298,63 @@ class CompressionSolver(SolverRunMixin):
         self.state, m = self._step(self.state, x, self._next_rng())
         metrics.update(m)
         return metrics
+
+    def evaluate(self) -> dict:
+        """Reconstruction metrics over the evaluate split
+        (`compression.py:183-238`): SI-SNR + RVM always; ViSQOL/PESQ are
+        external binaries and stay gated."""
+        loader = self.dataloaders.get("evaluate")
+        if loader is None:
+            return {}
+        from ..losses.sisnr import SISNR
+        from ..metrics.rvm import RelativeVolumeMel
+        sisnr = SISNR(sample_rate=self.model.sample_rate)
+        rvm = RelativeVolumeMel(sample_rate=self.model.sample_rate)
+        variables = self.state.gen_vars
+        totals: tp.Dict[str, float] = {}
+        count = 0
+        for batch in loader:
+            wav = batch[0] if isinstance(batch, tuple) else batch
+            x = jnp.asarray(np.asarray(wav, np.float32))
+            codes, scale = self.model.encode(variables, x)
+            y = self.model.decode(variables, codes, scale)
+            y = y[..., :x.shape[-1]]
+            totals["sisnr"] = totals.get("sisnr", 0.0) - float(
+                np.asarray(jnp.mean(sisnr(y, x))))
+            for k, v in rvm(y, x).items():
+                totals[k] = totals.get(k, 0.0) + float(np.asarray(v))
+            count += 1
+        if self.cfg.get("evaluate", {}).get("metrics", {}).get("visqol"):
+            logger.warning("ViSQOL is an external binary; skipping "
+                           "(see docs/METRICS.md)")
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def generate(self) -> dict:
+        """Store reconstructions next to their references
+        (`compression.py:240-266`)."""
+        import types
+        loader = (self.dataloaders.get("generate")
+                  or self.dataloaders.get("evaluate")
+                  or self.dataloaders.get("valid"))
+        if loader is None:
+            return {}
+        from ..utils.samples.manager import SampleManager
+        xp = types.SimpleNamespace(folder=self._folder, cfg=self.cfg)
+        manager = SampleManager(xp, map_reference_to_sample_id=True)
+        variables = self.state.gen_vars
+        n = 0
+        for batch in loader:
+            wav = batch[0] if isinstance(batch, tuple) else batch
+            x = jnp.asarray(np.asarray(wav, np.float32))
+            codes, scale = self.model.encode(variables, x)
+            y = np.asarray(self.model.decode(variables, codes, scale))
+            manager.add_samples(y[..., :x.shape[-1]], self.epoch,
+                                ground_truth_wavs=np.asarray(x))
+            n += y.shape[0]
+            break  # one batch of reconstructions per generate stage
+        logger.info("Stored %d codec reconstructions under %s", n,
+                    manager.base_folder)
+        return {"generated_samples": n}
 
     @staticmethod
     def model_from_checkpoint(checkpoint_path, **kwargs):

@@ -8,6 +8,7 @@ sharded params; the reference's fsdp/eager-sync/scaler branches
 (`musicgen.py:394-434`) collapse into one jitted step.
 """
 import dataclasses
+import logging
 import typing as tp
 from functools import partial
 
@@ -24,6 +25,8 @@ from ..modules.conditioners import (AttributeDropout,
                                     ConditioningAttributes)
 from ..parallel.mesh import batch_sharding, replicated
 from ..parallel.sharding import infer_shardings
+
+logger = logging.getLogger(__name__)
 
 
 @struct.dataclass
@@ -130,6 +133,23 @@ def make_train_step(model: LMModel, optimizer: optax.GradientTransformation,
             out_shardings=(state_shardings, rep),
             donate_argnums=(0,))
     return shard_the_step
+
+
+def make_eval_step(model: LMModel):
+    """Jitted CE/PPL eval step (no dropout, no grads) —
+    `solvers/musicgen.py:496-509`."""
+
+    def eval_step(params, codes, tokenized, padding_mask):
+        condition_tensors = model.apply(params, tokenized,
+                                        method=LMModel.compute_conditions)
+        out = model.apply(params, codes, condition_tensors,
+                          method=LMModel.compute_predictions)
+        mask = out.mask & (codes != model.special_token_id)
+        ce, ce_q = compute_cross_entropy(out.logits, codes, mask)
+        return {"ce": ce, "ppl": jnp.exp(ce),
+                **{f"ce_q{k + 1}": ce_q[k] for k in range(model.n_q)}}
+
+    return jax.jit(eval_step)
 
 
 def init_train_state(model: LMModel, params,
@@ -245,7 +265,7 @@ class MusicGenSolver(SolverRunMixin):
         self._rng, r = jax.random.split(self._rng)
         return r
 
-    def _prepare_tokens_and_attributes(self, batch):
+    def _prepare_tokens_and_attributes(self, batch, training: bool = True):
         """wav -> codes; infos -> dropped+tokenized conditions
         (`musicgen.py:259-361`)."""
         import jax.numpy as jnp
@@ -255,8 +275,9 @@ class MusicGenSolver(SolverRunMixin):
             self.compression_variables, jnp.asarray(wav))
         assert scale is None, "Scaled compression model not supported with LM."
         attributes = [info.to_condition_attributes() for info in infos]
-        attributes = apply_condition_dropout(attributes, self.cfg_dropout,
-                                             self.att_dropout)
+        if training:
+            attributes = apply_condition_dropout(attributes, self.cfg_dropout,
+                                                 self.att_dropout)
         tokenized = tokenize_conditions(self.model, attributes)
         # padding -> special token (`musicgen.py:333-344`)
         lengths = jnp.asarray(np.array([i.n_frames for i in infos]))
@@ -273,6 +294,114 @@ class MusicGenSolver(SolverRunMixin):
                                               padding_mask, self._next_rng())
         metrics.update(step_metrics)
         return metrics
+
+    def _gen_model(self):
+        """Wrap the current weights in the user-facing generation API."""
+        from ..models.musicgen import MusicGen
+        segment = self.cfg.get("dataset", {}).get("segment_duration") or 10.0
+        mg = MusicGen("solver-gen", self.compression_model,
+                      self.compression_variables, self.model,
+                      self.state.params, max_duration=float(segment))
+        gen_cfg = dict(self.cfg.get("generate", {}).get("lm", {}))
+        duration = gen_cfg.get("gen_duration") or min(float(segment), 10.0)
+        mg.set_generation_params(duration=float(duration),
+                                 extend_stride=min(18, float(segment) / 2),
+                                 **{k: v for k, v in gen_cfg.items()
+                                    if k in ("use_sampling", "top_k", "top_p",
+                                             "temperature", "cfg_coef")})
+        return mg
+
+    def evaluate(self) -> dict:
+        """CE/PPL over the evaluate split (+ gated generative metrics) —
+        `solvers/musicgen.py:636-739`."""
+        loader = self.dataloaders.get("evaluate")
+        if loader is None:
+            return {}
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = make_eval_step(self.model)
+        average: tp.Dict[str, float] = {}
+        count = 0
+        for idx, batch in enumerate(loader):
+            codes, tokenized, padding_mask = \
+                self._prepare_tokens_and_attributes(batch, training=False)
+            m = self._eval_step(self.state.params, codes, tokenized,
+                                padding_mask)
+            count += 1
+            for k, v in m.items():
+                average[k] = average.get(k, 0.0) + float(np.asarray(v))
+        metrics = {k: v / max(count, 1) for k, v in average.items()}
+
+        metrics_cfg = self.cfg.get("evaluate", {}).get("metrics", {})
+        gated = [k for k in ("fad", "kld", "text_consistency")
+                 if metrics_cfg.get(k)]
+        if gated:
+            logger.warning("generative metrics %s need local embedding-model "
+                           "checkpoints; skipping (see docs/METRICS.md)", gated)
+        if metrics_cfg.get("chroma_cosine"):
+            metrics.update(self._eval_chroma_cosine(loader))
+        return metrics
+
+    def _eval_chroma_cosine(self, loader, max_batches: int = 2) -> dict:
+        """Self-contained melody-consistency eval: chroma cosine similarity
+        between generated audio and the ground truth (`musicgen.py:700-720`)."""
+        from ..metrics.chroma_cosinesim import ChromaCosineSimilarityMetric
+        mg = self._gen_model()
+        sr = self.compression_model.sample_rate
+        metric = ChromaCosineSimilarityMetric(sample_rate=sr, n_chroma=12,
+                                              radix2_exp=12, argmax=True)
+        for idx, (wav, infos) in enumerate(loader):
+            if idx >= max_batches:
+                break
+            descs = [getattr(i, "description", None) or "" for i in infos]
+            gen = np.asarray(mg.generate(descs, progress=False))
+            ref = np.asarray(wav, np.float32)
+            T = min(gen.shape[-1], ref.shape[-1])
+            sizes = np.full((gen.shape[0],), T)
+            metric.update(gen[..., :T], ref[..., :T], sizes,
+                          np.full((gen.shape[0],), sr))
+        try:
+            return {"chroma_cosine": float(metric.compute())}
+        except AssertionError:
+            return {}
+
+    def generate(self) -> dict:
+        """Sample generation stage with SampleManager storage
+        (`solvers/musicgen.py:511-615`)."""
+        import types
+        loader = (self.dataloaders.get("generate")
+                  or self.dataloaders.get("evaluate")
+                  or self.dataloaders.get("valid"))
+        if loader is None:
+            return {}
+        from ..utils.samples.manager import SampleManager
+        xp = types.SimpleNamespace(folder=self._folder, cfg=self.cfg)
+        manager = SampleManager(xp)
+        gen_cfg = self.cfg.get("generate", {}).get("lm", {})
+        mg = self._gen_model()
+        sample_rate = self.compression_model.sample_rate
+        n_done = 0
+        for wav, infos in loader:
+            descs = [getattr(i, "description", None) or "" for i in infos]
+            conds = [{"description": d} for d in descs]
+            if gen_cfg.get("unprompted_samples", True):
+                gen = np.asarray(mg.generate(descs, progress=False))
+                manager.add_samples(gen, self.epoch, conditioning=conds,
+                                    ground_truth_wavs=np.asarray(wav))
+            if gen_cfg.get("prompted_samples", False):
+                prompt_duration = float(gen_cfg.get("prompt_duration")
+                                        or mg.duration / 4)
+                P = int(prompt_duration * sample_rate)
+                prompt = np.asarray(wav, np.float32)[..., :P]
+                gen = np.asarray(mg.generate_continuation(
+                    prompt, sample_rate, descs, progress=False))
+                manager.add_samples(gen, self.epoch, conditioning=conds,
+                                    prompt_wavs=prompt)
+            n_done += len(infos)
+            if n_done >= int(gen_cfg.get("num_samples", len(infos))):
+                break
+        logger.info("Generated %d samples under %s", n_done,
+                    manager.base_folder)
+        return {"generated_samples": n_done}
 
     def run_epoch(self, split: str = "train", max_updates: int = 0) -> dict:
         loader = self.dataloaders[split]
