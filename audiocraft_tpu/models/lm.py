@@ -292,6 +292,10 @@ def _combine_cfg_logits(all_logits: jax.Array, B: int, cfg_coef: float,
 _GEN_JIT_CACHE: tp.Dict[tp.Any, tp.Any] = {}
 _COND_JIT_CACHE: tp.Dict[int, tp.Any] = {}
 
+# KV buffers grow through these fractions of the final length during decode
+# (zero-padded up between scan segments); (1.0,) disables bucketing.
+_CACHE_GROWTH_FRACS: tp.Tuple[float, ...] = (0.375, 0.625, 1.0)
+
 
 def jit_compute_conditions(model: LMModel, params, tokenized):
     """Jitted conditioner forward (eager op dispatch on the axon platform is
@@ -318,7 +322,8 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
                    B: int, gen: GenParams, cfg_coef: float, cache_dtype,
                    cond_struct: tp.Tuple):
     """Build (and cache) the jitted prefill+scan program for one shape bucket."""
-    key = (id(model), S, start, cfg_mult, B, gen, str(cache_dtype), cond_struct)
+    key = (id(model), S, start, cfg_mult, B, gen, str(cache_dtype),
+           cond_struct, _CACHE_GROWTH_FRACS)
     if key in _GEN_JIT_CACHE:
         return _GEN_JIT_CACHE[key]
 
@@ -336,7 +341,19 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
             prepend_len = sum(condition_tensors[name][0].shape[1]
                               for name in model.fuser.fuse2cond.get("prepend", [])
                               if name in condition_tensors)
-        caches = init_lm_cache(model, cfg_mult * B, S + prepend_len, cache_dtype)
+        # Bucketed cache sizes: decode attention is HBM-bound on reading the
+        # static KV buffers every step, so early steps run against smaller
+        # buffers that are zero-padded up as decoding progresses (~25-35%
+        # less cache traffic than one full-size buffer for the whole scan).
+        S_total = S + prepend_len
+        min_first = prepend_len + start + 2  # prefill + first scan write
+        bounds: tp.List[int] = []
+        for frac in _CACHE_GROWTH_FRACS:
+            cap = min(S_total, max(min_first, -(-int(S_total * frac) // 64) * 64))
+            if not bounds or cap > bounds[-1]:
+                bounds.append(cap)
+        bounds[-1] = S_total
+        caches = init_lm_cache(model, cfg_mult * B, bounds[0], cache_dtype)
 
         if model.cross_attention and condition_tensors:
             cross_src = None
@@ -390,8 +407,32 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
                 gen_sequence, write[..., None], offset, axis=2)
             return (gen_sequence, caches, rng), None
 
-        offsets = jnp.arange(start + 1, S)
-        if S > start + 1:
+        def grow(caches, new_len):
+            from ..modules.transformer import KVCache
+            def g(layer):
+                pad = new_len - layer.self_attn.k.shape[1]
+                if pad <= 0:
+                    return layer
+                pads = ((0, 0), (0, pad), (0, 0), (0, 0))
+                return LayerCache(
+                    self_attn=KVCache(k=jnp.pad(layer.self_attn.k, pads),
+                                      v=jnp.pad(layer.self_attn.v, pads),
+                                      index=layer.self_attn.index),
+                    cross_k=layer.cross_k, cross_v=layer.cross_v)
+            return [g(layer) for layer in caches]
+
+        lo = start + 1
+        for i, cap in enumerate(bounds):
+            hi = min(S, cap - prepend_len)
+            if hi > lo:
+                offsets = jnp.arange(lo, hi)
+                (gen_sequence, caches, rng), _ = jax.lax.scan(
+                    step, (gen_sequence, caches, rng), offsets)
+                lo = hi
+            if i + 1 < len(bounds) and lo < S:
+                caches = grow(caches, bounds[i + 1])
+        if S > lo:
+            offsets = jnp.arange(lo, S)
             (gen_sequence, caches, rng), _ = jax.lax.scan(
                 step, (gen_sequence, caches, rng), offsets)
 

@@ -37,8 +37,9 @@ def main():
     FRAME_RATE = 50       # musicgen 32kHz codec frame rate
     SR = 32000
     # Throughput-optimal serving batch: audio-sec/sec/chip is the metric, and
-    # batched decoding amortizes the weight streaming (B=1: ~12x, B=16: ~40x).
-    B = 16
+    # batched decoding amortizes the weight streaming (B=1: ~12x, B=16: ~40x,
+    # B=64: ~115x LM-only; B=128 overflows v5e HBM on the CFG-doubled caches).
+    B = 64
 
     # flagship LM, bf16 activations
     model = musicgen_lm("small", n_q=4, card=2048, dtype=jnp.bfloat16)
@@ -54,8 +55,12 @@ def main():
                                   kmeans_init=False)
     qstate = rvq.init(jax.random.PRNGKey(1))
     n_frames = int(DURATION * FRAME_RATE)
+    # codec decode runs in sub-batches: SEANet upsamples 500 frames -> 320k
+    # samples, and a full B=64 activation footprint would not fit next to the
+    # LM KV caches
+    DEC_B = 32
     dec_params = decoder.init(jax.random.PRNGKey(2),
-                              jnp.zeros((B, n_frames, 128), jnp.bfloat16))
+                              jnp.zeros((DEC_B, n_frames, 128), jnp.bfloat16))
 
     # two separate programs: the fused gather+conv graph compiles
     # pathologically slowly as one unit
@@ -63,7 +68,9 @@ def main():
     seanet_decode = jax.jit(decoder.apply)
 
     def decode_audio(dec_params, qstate, codes):
-        return seanet_decode(dec_params, rvq_decode(qstate, codes))
+        wavs = [seanet_decode(dec_params, rvq_decode(qstate, chunk))
+                for chunk in jnp.split(codes, codes.shape[0] // DEC_B)]
+        return jnp.concatenate(wavs)
 
     # text conditioning tensors (precomputed once per prompt, like get_pretrained
     # users do; the T5 encoder cost is <1% of a 10s decode)
