@@ -120,6 +120,12 @@ def get_conditioners(output_dim: int, cfg) -> tp.Dict[str, BaseConditioner]:
             model_args.pop("device", None)
             conditioners[str(cond)] = StyleConditioner(
                 output_dim=output_dim, **model_args)
+        elif model_type == "clap":
+            from ..modules.conditioners import CLAPEmbeddingConditioner
+            model_args.pop("device", None)
+            model_args.pop("cache_path", None)
+            conditioners[str(cond)] = CLAPEmbeddingConditioner(
+                output_dim=output_dim, attribute=str(cond), **model_args)
         else:
             raise ValueError(f"Unrecognized conditioning model: {model_type}")
     return conditioners

@@ -436,15 +436,27 @@ class ConditioningProvider(nn.Module):
     def has_wav_condition(self):
         return len(self.wav_conditions) > 0
 
+    @property
+    def joint_embed_conditions(self):
+        return [k for k, v in self.conditioners.items()
+                if isinstance(v, JointEmbeddingConditioner)]
+
+    @property
+    def has_joint_embed_conditions(self):
+        return len(self.joint_embed_conditions) > 0
+
     def tokenize(self, inputs: tp.List[ConditioningAttributes]) -> tp.Dict[str, tp.Any]:
         assert all(isinstance(x, ConditioningAttributes) for x in inputs)
         output = {}
         text = self._collate_text(inputs)
         wavs = self._collate_wavs(inputs)
-        assert set(text.keys() | wavs.keys()).issubset(set(self.conditioners.keys())), \
+        joint = self._collate_joint_embeds(inputs)
+        assert set(text.keys() | wavs.keys() | joint.keys()).issubset(
+            set(self.conditioners.keys())), \
             (f"Got an unexpected attribute! Expected {self.conditioners.keys()}, "
-             f"got {text.keys(), wavs.keys()}")
-        for attribute, batch in chain(text.items(), wavs.items()):
+             f"got {text.keys(), wavs.keys(), joint.keys()}")
+        for attribute, batch in chain(text.items(), wavs.items(),
+                                      joint.items()):
             output[attribute] = self.conditioners[attribute].tokenize(batch)
         return output
 
@@ -490,6 +502,32 @@ class ConditioningProvider(nn.Module):
             out[attribute] = WavCondition(
                 stacked[:, None], np.concatenate(lengths[attribute]),
                 sample_rates[attribute], paths[attribute], seek_times[attribute])
+        return out
+
+    def _collate_joint_embeds(self, samples):
+        """Batch JointEmbedCondition per attribute (`conditioners.py:1622-1668`)."""
+        out: tp.Dict[str, JointEmbedCondition] = {}
+        for attribute in self.joint_embed_conditions:
+            wavs, texts, lengths, srs, paths, seeks = [], [], [], [], [], []
+            null = JointEmbedCondition(
+                wav=np.zeros((1, 1, 1), np.float32), text=[None],
+                length=np.array([0]), sample_rate=[0], path=[None],
+                seek_time=[None])
+            for sample in samples:
+                cond = sample.joint_embed.get(attribute, null)
+                wav = np.asarray(cond.wav).mean(axis=1, keepdims=True)
+                wavs.append(wav.reshape(-1))
+                texts.extend(cond.text)
+                lengths.append(np.asarray(cond.length).reshape(-1))
+                srs.extend(cond.sample_rate)
+                paths.extend(cond.path)
+                seeks.extend(cond.seek_time)
+            max_len = max(w.shape[-1] for w in wavs)
+            stacked = np.stack([np.pad(w, (0, max_len - w.shape[-1]))
+                                for w in wavs])
+            out[attribute] = JointEmbedCondition(
+                stacked[:, None], texts, np.concatenate(lengths), srs,
+                paths, seeks)
         return out
 
 
@@ -776,6 +814,71 @@ class StyleConditioner(FeatureExtractor):
         embeds = embeds * valid[..., None]
         mask = jnp.ones_like(embeds[..., 0]) * valid
         return embeds, mask
+
+
+class JointEmbeddingConditioner(BaseConditioner):
+    """Joint text/audio embedding conditioner (`conditioners.py:1006-1065`).
+
+    Host side (`tokenize`) embeds either the text or the waveform into the
+    joint space through `_get_embed` (subclass-provided, e.g. CLAP); device
+    side optionally quantizes the embedding through an RVQ bottleneck and
+    projects it to the model dim. Empty conditions produce a zero mask.
+    """
+    attribute: str = "description"
+    quantize: bool = False
+    n_q: int = 12
+    bins: int = 1024
+
+    def _get_embed(self, x: JointEmbedCondition
+                   ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        """Return (embed [B, dim], valid [B, 1] float). Subclasses override."""
+        raise NotImplementedError
+
+    def tokenize(self, x: JointEmbedCondition) -> tp.Dict[str, np.ndarray]:
+        embed, valid = self._get_embed(x)
+        assert embed.ndim == 2, embed.shape
+        return {"embed": np.asarray(embed, np.float32),
+                "valid": np.asarray(valid, np.float32).reshape(-1, 1)}
+
+    @nn.compact
+    def __call__(self, tokenized) -> ConditionType:
+        embed = jnp.asarray(tokenized["embed"])          # [B, dim]
+        valid = jnp.asarray(tokenized["valid"])          # [B, 1]
+        if self.quantize:
+            from ..quantization import ResidualVectorQuantizer
+            rvq = ResidualVectorQuantizer(dimension=embed.shape[-1],
+                                          n_q=self.n_q, bins=self.bins,
+                                          kmeans_init=False)
+            qstate = self.variable("quantizer", "joint_rvq",
+                                   lambda: rvq.init(jax.random.PRNGKey(0)))
+            codes = rvq.encode(qstate.value, embed[:, None, :])
+            embed = rvq.decode(qstate.value, codes)[:, 0]
+        out = self._output_proj(embed[:, None, :])       # [B, 1, output_dim]
+        out = out * valid[..., None]
+        return out, jnp.ones_like(out[..., 0]) * valid
+
+
+class CLAPEmbeddingConditioner(JointEmbeddingConditioner):
+    """CLAP joint embedding (`conditioners.py:1067-1130`). Requires the
+    `laion_clap` package and a local checkpoint — both absent from this image,
+    so construction is gated with a clear error. The quantization/projection
+    path above is fully implemented and tested through a stub embedder."""
+    checkpoint: str = ""
+    model_arch: str = "HTSAT-base"
+    enable_fusion: bool = False
+    text_p: float = 0.0
+
+    def _gate(self):
+        raise ImportError(
+            "CLAPEmbeddingConditioner needs the `laion_clap` package and a "
+            "local checkpoint (zero-egress image). Subclass "
+            "JointEmbeddingConditioner with your own `_get_embed` instead.")
+
+    def _get_embed(self, x):
+        self._gate()
+
+    def setup(self):
+        self._gate()
 
 
 def set_style_params(conditioner: "StyleConditioner", *, eval_q: int = 3,

@@ -10,6 +10,7 @@ sharded params; the reference's fsdp/eager-sync/scaler branches
 import dataclasses
 import logging
 import typing as tp
+from pathlib import Path
 from functools import partial
 
 import jax
@@ -260,6 +261,26 @@ class MusicGenSolver(SolverRunMixin):
         self._rng = jax.random.PRNGKey(cfg.get("seed", 2036))
         self.epoch = 1
 
+        # precomputed EnCodec-token batch cache (`musicgen.py:50-63`):
+        # cache.write populates; cache.path without write consumes, skipping
+        # the codec encode on the step critical path
+        self.cached_batch_writer = None
+        self.cached_batch_loader = None
+        cache_cfg = cfg.get("cache", {})
+        if cache_cfg.get("path"):
+            from ..utils.cache import CachedBatchLoader, CachedBatchWriter
+            if cache_cfg.get("write"):
+                self.cached_batch_writer = CachedBatchWriter(
+                    Path(cache_cfg["path"]))
+            else:
+                self.cached_batch_loader = CachedBatchLoader(
+                    Path(cache_cfg["path"]),
+                    cfg.get("dataset", {}).get("batch_size", 1),
+                    num_workers=cache_cfg.get("num_workers", 4))
+                self.dataloaders["original_train"] = \
+                    self.dataloaders.get("train")
+                self.dataloaders["train"] = self.cached_batch_loader
+
     def _next_rng(self):
         import jax
         self._rng, r = jax.random.split(self._rng)
@@ -289,7 +310,23 @@ class MusicGenSolver(SolverRunMixin):
         return codes, tokenized, padding_mask
 
     def run_step(self, idx: int, batch, metrics: dict) -> dict:
-        codes, tokenized, padding_mask = self._prepare_tokens_and_attributes(batch)
+        if isinstance(batch, tuple) and len(batch) == 1 \
+                and isinstance(batch[0], dict):
+            batch = batch[0]  # CachedBatchLoader yields the saved args tuple
+        if isinstance(batch, dict) and "codes" in batch:
+            # precomputed batch from the CachedBatchLoader
+            codes = jnp.asarray(batch["codes"])
+            tokenized = batch["tokenized"]
+            padding_mask = jnp.asarray(batch["padding_mask"])
+        else:
+            codes, tokenized, padding_mask = \
+                self._prepare_tokens_and_attributes(batch)
+            if self.cached_batch_writer is not None:
+                if idx == 0:
+                    self.cached_batch_writer.start_epoch(self.epoch)
+                self.cached_batch_writer.save(
+                    {"codes": np.asarray(codes), "tokenized": tokenized,
+                     "padding_mask": np.asarray(padding_mask)})
         self.state, step_metrics = self._step(self.state, codes, tokenized,
                                               padding_mask, self._next_rng())
         metrics.update(step_metrics)

@@ -169,6 +169,9 @@ class CachedBatchLoader:
     def start_epoch(self, epoch: int):
         self._current_epoch = epoch
 
+    # DataLoader-compatible alias so solvers can epoch any train loader
+    set_epoch = start_epoch
+
     def _zip_path(self, index: int) -> Path:
         assert self._current_epoch is not None
         return CachedBatchWriter._get_zip_path(self.cache_folder,

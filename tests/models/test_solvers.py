@@ -128,3 +128,27 @@ def test_compression_solver_evaluate_stage(tmp_path):
     })
     m = solver.evaluate()
     assert np.isfinite(m["sisnr"]) and np.isfinite(m["rvm"])
+
+
+def test_musicgen_cached_batch_flow(tmp_path):
+    """Token-cache write then cached training (`musicgen.py:50-63,617-634`)."""
+    from audiocraft_tpu.solvers.musicgen import MusicGenSolver
+    manifest = _tiny_manifest(tmp_path, sr=32000)
+    base = {
+        "seed": 0, "sample_rate": 32000, "channels": 1,
+        "compression_model_checkpoint": "debug",
+        "datasource": {"train": manifest},
+        "dataset": {"batch_size": 2, "segment_duration": 1.0,
+                    "num_workers": 0, "train": {"num_samples": 2}},
+        "optim": {"epochs": 1, "updates_per_epoch": 1},
+    }
+    w = MusicGenSolver({**base, "cache": {"path": str(tmp_path / "tok"),
+                                          "write": True},
+                        "folder": str(tmp_path / "xp_w")})
+    w.run()
+    shards = list((tmp_path / "tok").rglob("*.zip"))
+    assert len(shards) == 1
+    r = MusicGenSolver({**base, "cache": {"path": str(tmp_path / "tok")},
+                        "folder": str(tmp_path / "xp_r")})
+    hist = r.run()
+    assert np.isfinite(hist[0]["train"]["ce"])

@@ -1,0 +1,73 @@
+"""JointEmbeddingConditioner: provider collation, RVQ bottleneck, null drop.
+The CLAP subclass is gated (no laion_clap in this image); a stub embedder
+exercises the full device path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from audiocraft_tpu.modules.conditioners import (
+    AttributeDropout, CLAPEmbeddingConditioner, ConditioningAttributes,
+    ConditioningProvider, JointEmbedCondition, JointEmbeddingConditioner)
+
+
+class StubJointConditioner(JointEmbeddingConditioner):
+    """Deterministic text-hash embedding standing in for CLAP."""
+    embed_dim: int = 8
+
+    def _get_embed(self, x: JointEmbedCondition):
+        B = x.wav.shape[0]
+        embed = np.zeros((B, self.embed_dim), np.float32)
+        valid = np.zeros((B,), np.float32)
+        for i, text in enumerate(x.text):
+            if text:
+                rs = np.random.RandomState(abs(hash(text)) % (2 ** 31))
+                embed[i] = rs.randn(self.embed_dim)
+                valid[i] = 1.0
+        return embed, valid
+
+
+def _attrs(texts):
+    out = []
+    for t in texts:
+        a = ConditioningAttributes(text={})
+        a.joint_embed["description"] = JointEmbedCondition(
+            wav=np.zeros((1, 1, 10), np.float32), text=[t],
+            length=np.array([10]), sample_rate=[16000], path=[None],
+            seek_time=[None])
+        out.append(a)
+    return out
+
+
+def test_joint_embed_end_to_end():
+    cond = StubJointConditioner(output_dim=16, quantize=True, n_q=2, bins=8)
+    provider = ConditioningProvider({"description": cond})
+    tokenized = provider.tokenize(_attrs(["rock", None]))
+    assert "description" in tokenized
+    variables = cond.init(jax.random.PRNGKey(0), tokenized["description"])
+    (embeds, mask), _ = cond.apply(variables, tokenized["description"],
+                                   mutable=["quantizer"])
+    assert embeds.shape == (2, 1, 16) and mask.shape == (2, 1)
+    # second sample had no text -> nulled output and mask
+    assert np.asarray(mask)[1, 0] == 0.0
+    assert (np.asarray(embeds)[1] == 0).all()
+    assert np.asarray(mask)[0, 0] == 1.0
+    assert np.abs(np.asarray(embeds)[0]).sum() > 0
+
+
+def test_joint_embed_attribute_dropout():
+    drop = AttributeDropout(p={"joint_embed": {"description": 1.0}}, seed=0)
+    drop.active_on_eval = True
+    dropped = drop(_attrs(["jazz"]))
+    cond = StubJointConditioner(output_dim=16)
+    provider = ConditioningProvider({"description": cond})
+    tokenized = provider.tokenize(dropped)
+    assert tokenized["description"]["valid"].sum() == 0
+
+
+def test_clap_conditioner_is_gated():
+    with pytest.raises(ImportError, match="laion_clap"):
+        c = CLAPEmbeddingConditioner(output_dim=16)
+        c.init(jax.random.PRNGKey(0),
+               {"embed": np.zeros((1, 8), np.float32),
+                "valid": np.ones((1, 1), np.float32)})
