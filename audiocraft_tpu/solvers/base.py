@@ -303,6 +303,21 @@ class SolverRunMixin:
         folder.mkdir(parents=True, exist_ok=True)
         return folder
 
+    def _aux_tools(self):
+        """Profiler + deadlock watchdog from cfg (`base.py:517-557`)."""
+        if not hasattr(self, "_profiler"):
+            from ..utils.profiler import Profiler
+            from ..utils.deadlock import DeadlockDetect
+            pcfg = self.cfg.get("profiler", {}) or {}
+            dcfg = self.cfg.get("deadlock", {}) or {}
+            self._profiler = Profiler(
+                enabled=pcfg.get("enabled", False),
+                output_dir=pcfg.get("output_dir", "/tmp/audiocraft_tpu_profile"),
+                num_steps=pcfg.get("num_steps", 20))
+            self._deadlock = DeadlockDetect(use=dcfg.get("use", False),
+                                            timeout=dcfg.get("timeout", 600))
+        return self._profiler, self._deadlock
+
     def _iter_split(self, split: str, max_updates: int) -> dict:
         loader = self.dataloaders.get(split)
         if loader is None:
@@ -313,22 +328,28 @@ class SolverRunMixin:
         count = 0
         log_every = self.cfg.get("logging", {}).get("log_updates", 10)
         begin = time.time()
-        for idx, batch in enumerate(loader):
-            if max_updates and idx >= max_updates:
-                break
-            m = self.run_step(idx, batch, {})
-            count += 1
-            for k, v in m.items():
-                try:
-                    average[k] = average.get(k, 0.0) + float(np.asarray(v))
-                except Exception:
-                    pass
-            if (idx + 1) % log_every == 0:
-                speed = (idx + 1) / (time.time() - begin)
-                short = {k: round(average[k] / count, 4)
-                         for k in list(average)[:6]}
-                logger.info("%s epoch %d [%d] %.2f it/s %s", split,
-                            self.epoch, idx + 1, speed, short)
+        profiler, deadlock = self._aux_tools()
+        with profiler, deadlock:
+            for idx, batch in enumerate(loader):
+                if max_updates and idx >= max_updates:
+                    break
+                deadlock.update("batch")
+                m = self.run_step(idx, batch, {})
+                deadlock.update("step")
+                if split == "train":
+                    profiler.step()
+                count += 1
+                for k, v in m.items():
+                    try:
+                        average[k] = average.get(k, 0.0) + float(np.asarray(v))
+                    except Exception:
+                        pass
+                if (idx + 1) % log_every == 0:
+                    speed = (idx + 1) / (time.time() - begin)
+                    short = {k: round(average[k] / count, 4)
+                             for k in list(average)[:6]}
+                    logger.info("%s epoch %d [%d] %.2f it/s %s", split,
+                                self.epoch, idx + 1, speed, short)
         return {k: v / max(count, 1) for k, v in average.items()}
 
     def save_checkpoints(self):

@@ -36,7 +36,9 @@ class Profiler:
             logger.info("Profiler trace written to %s", self.output_dir)
 
     def __enter__(self):
-        if self.enabled:
+        # only the first num_steps updates are ever traced (re-entering after
+        # a completed trace is a no-op, so solvers can wrap every split)
+        if self.enabled and self._step < self.num_steps and not self._active:
             Path(self.output_dir).mkdir(parents=True, exist_ok=True)
             jax.profiler.start_trace(self.output_dir)
             self._active = True
