@@ -153,6 +153,74 @@ class MagnetSolver(MusicGenSolver):
         return metrics
 
 
+    def evaluate(self) -> dict:
+        """Masked-CE eval averaged over all RVQ stages (`magnet.py:218-268`)
+        with a deterministic mask per batch — the AR eval of the parent does
+        not apply to the non-causal masked objective."""
+        loader = self.dataloaders.get("evaluate")
+        if loader is None:
+            return {}
+        if not hasattr(self, "_magnet_eval_steps"):
+            self._magnet_eval_steps: tp.Dict[tp.Tuple[int, int], tp.Any] = {}
+        model = self.model
+
+        def get_eval_step(stage: int, T: int):
+            key = (stage, T)
+            if key in self._magnet_eval_steps:
+                return self._magnet_eval_steps[key]
+            pattern = model.pattern_provider.get_pattern(T)
+            S = len(pattern.valid_layout)
+            attn_bias = model.stage_attn_bias(stage, S)
+            bias_const = None if attn_bias is None else jnp.asarray(attn_bias)
+
+            def eval_step(params, input_tokens, targets, loss_mask, tokenized):
+                from ..models.lm import LMModel
+                condition_tensors = model.apply(
+                    params, tokenized, method=LMModel.compute_conditions)
+                out = model.apply(params, input_tokens, condition_tensors,
+                                  method=LMModel.compute_predictions,
+                                  attn_bias=bias_const)
+                logits_k = out.logits[:, stage]
+                targets_k = targets[:, stage]
+                mask_k = loss_mask[:, stage].astype(jnp.float32)
+                logp = jax.nn.log_softmax(logits_k.astype(jnp.float32), -1)
+                ce_all = -jnp.take_along_axis(
+                    logp, targets_k[..., None], -1)[..., 0]
+                return jnp.sum(ce_all * mask_k) / jnp.maximum(
+                    jnp.sum(mask_k), 1.0)
+
+            fn = jax.jit(eval_step)
+            self._magnet_eval_steps[key] = fn
+            return fn
+
+        rng = np.random.RandomState(self.cfg.get("seed", 2036))
+        ce_sum, n = 0.0, 0
+        for batch in loader:
+            codes, tokenized, padding_mask = \
+                self._prepare_tokens_and_attributes(batch, training=False)
+            audio_tokens = np.asarray(codes)
+            B, K, T = audio_tokens.shape
+            for stage in range(K):
+                probs = np.cos(rng.uniform(0, 1, size=(B,)) * math.pi * 0.5)
+                stage_mask = self._get_mask(probs, B, T)
+                mask = np.zeros((B, K, T), bool)
+                mask[:, stage, :] = stage_mask
+                mask[:, stage + 1:, :] = True
+                input_tokens = np.where(mask, self.model.special_token_id,
+                                        audio_tokens)
+                loss_mask = np.zeros((B, K, T), bool)
+                loss_mask[:, stage, :] = stage_mask
+                loss_mask &= np.asarray(padding_mask)[:, None, :].astype(bool)
+                ce = get_eval_step(stage, T)(
+                    self.state.params, jnp.asarray(input_tokens),
+                    jnp.asarray(audio_tokens), jnp.asarray(loss_mask),
+                    tokenized)
+                ce_sum += float(np.asarray(ce))
+                n += 1
+        ce = ce_sum / max(n, 1)
+        return {"ce": ce, "ppl": float(np.exp(ce))}
+
+
 class AudioMagnetSolver(MagnetSolver):
     """Sound-dataset MAGNeT (`magnet.py:271-276`)."""
     DATASET_TYPE = "sound"

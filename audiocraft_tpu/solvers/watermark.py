@@ -180,6 +180,66 @@ class WatermarkSolver(SolverRunMixin):
         self._steps_cache[effect_name] = fn
         return fn
 
+    def evaluate(self) -> dict:
+        """Detection/decoding metrics over the evaluate split
+        (`solvers/watermark.py:400-533`): detection accuracy + FPR/FNR on
+        watermarked-vs-clean clips, message bit accuracy, localization mIoU
+        on half-watermarked clips, and SI-SNR of the watermarked audio.
+        PESQ/STOI stay gated (external C extensions)."""
+        loader = self.dataloaders.get("evaluate")
+        if loader is None:
+            return {}
+        import jax
+        from ..losses.sisnr import SISNR
+        from ..metrics.miou import calculate_miou
+        sisnr = SISNR(sample_rate=self.sample_rate)
+        model, params = self.model, self.state.params
+
+        @jax.jit
+        def fwd(params, x, message):
+            y = model.forward(params, x, message)
+            pos = model.detect_watermark(params, y)
+            neg = model.detect_watermark(params, x)
+            return y, pos, neg
+
+        totals: tp.Dict[str, float] = {}
+        count = 0
+        for batch in loader:
+            wav = batch[0] if isinstance(batch, tuple) else batch
+            x = jnp.asarray(np.asarray(wav, np.float32))
+            B, _, T = x.shape
+            message = jnp.asarray(random_message(self._np_rng, self.nbits, B))
+            y, pos, neg = fwd(params, x, message)
+            pos, neg = np.asarray(pos), np.asarray(neg)
+            # presence probability = softmax over the first two channels
+            det_pos = (pos[:, 1] > pos[:, 0]).mean()        # TPR
+            det_neg = (neg[:, 1] > neg[:, 0]).mean()        # FPR
+            totals["detection_acc"] = totals.get("detection_acc", 0.0) \
+                + float((det_pos + (1 - det_neg)) / 2)
+            totals["fnr"] = totals.get("fnr", 0.0) + float(1 - det_pos)
+            totals["fpr"] = totals.get("fpr", 0.0) + float(det_neg)
+            if self.nbits:
+                bits = (pos[:, 2:] > 0).mean(axis=-1) > 0.5  # [B, nbits]
+                totals["bit_acc"] = totals.get("bit_acc", 0.0) + float(
+                    (bits == (np.asarray(message) > 0.5)).mean())
+            # localization: watermark only the first half of each clip
+            half = np.concatenate([np.asarray(y)[..., :T // 2],
+                                   np.asarray(x)[..., T // 2:]], axis=-1)
+            det_half = np.asarray(self.model.detect_watermark(
+                params, jnp.asarray(half)))
+            pred = (det_half[:, 1] > det_half[:, 0]).astype(np.float32)
+            truth = np.concatenate([np.ones((B, T // 2)),
+                                    np.zeros((B, T - T // 2))], axis=1)
+            totals["miou"] = totals.get("miou", 0.0) + calculate_miou(pred, truth)
+            totals["sisnr_wm"] = totals.get("sisnr_wm", 0.0) - float(
+                np.asarray(jnp.mean(sisnr(y, x))))
+            count += 1
+        if self.cfg.get("evaluate", {}).get("metrics", {}).get("pesq"):
+            import logging
+            logging.getLogger(__name__).warning(
+                "PESQ/STOI need external C extensions; skipping")
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
     def run_step(self, idx: int, batch, metrics: dict) -> dict:
         """`watermark.py:252-399`."""
         wav = batch[0] if isinstance(batch, tuple) else batch
