@@ -111,7 +111,6 @@ def get_conditioners(output_dim: int, cfg) -> tp.Dict[str, BaseConditioner]:
             conditioners[str(cond)] = LUTConditioner(output_dim=output_dim, **model_args)
         elif model_type == "chroma_stem":
             from ..modules.conditioners import ChromaStemConditioner
-            model_args.pop("cache_path", None)
             model_args.pop("device", None)
             conditioners[str(cond)] = ChromaStemConditioner(
                 output_dim=output_dim, **model_args)

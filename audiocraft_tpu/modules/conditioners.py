@@ -25,6 +25,7 @@ import typing as tp
 from collections import defaultdict
 from copy import deepcopy
 from itertools import chain
+from pathlib import Path
 
 import flax.linen as nn
 import jax
@@ -632,8 +633,77 @@ class ChromaStemConditioner(WaveformConditioner):
         winhop = (2 ** self.radix2_exp) // 4
         return 1 + T // winhop
 
-    def tokenize(self, x: WavCondition) -> WavCondition:
-        return x
+    @property
+    def _winhop(self) -> int:
+        return (2 ** self.radix2_exp) // 4
+
+    def _embed_cache(self):
+        """Lazy per-file chroma cache (`conditioners.py:646-658` wraps
+        _get_wav_embedding with EmbeddingCache): the FULL file's chroma is
+        computed once and keyed by sha1(path); batches extract a seek-based
+        slice, so random training crops stay correct."""
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            from ..utils.cache import EmbeddingCache
+
+            def compute_full(path, xc, idx):
+                from ..data.audio import audio_read
+                from ..data.audio_utils import convert_audio
+                wav, sr = audio_read(str(path))
+                wav = convert_audio(np.asarray(wav)[None], sr,
+                                    self.sample_rate, 1)
+                return np.asarray(self._chroma()(jnp.asarray(wav)))[0]
+
+            def extract(full_embed, xc, idx):
+                sr = xc.sample_rate[idx] or self.sample_rate
+                seek = (xc.seek_time[idx] if idx < len(xc.seek_time)
+                        and xc.seek_time[idx] else 0.0)
+                start = int(seek * self.sample_rate) // self._winhop
+                seg_samples = int(xc.wav.shape[-1] * self.sample_rate / sr)
+                n_frames = 1 + seg_samples // self._winhop
+                sl = full_embed[start:start + n_frames]
+                if sl.shape[0] < n_frames:  # file shorter than the segment
+                    sl = np.pad(sl, ((0, n_frames - sl.shape[0]), (0, 0)))
+                return sl
+
+            cache = EmbeddingCache(Path(self.cache_path) / "wav",
+                                   compute_full, extract)
+            object.__setattr__(self, "_cache", cache)
+        return cache
+
+    def tokenize(self, x: WavCondition) -> tp.Any:
+        if (self.cache_path is None or x.wav.shape[-1] <= 1
+                or not x.path or all(p is None for p in x.path)):
+            return x
+        # per-sample: cache hit for path-bearing rows, direct chroma for the
+        # rest (CFG null rows and in-memory wavs have no path)
+        cache = self._embed_cache()
+        seg_samples = int(x.wav.shape[-1] * self.sample_rate
+                          / (x.sample_rate[0] or self.sample_rate))
+        n_frames = 1 + seg_samples // self._winhop
+        rows = []
+        for idx, path in enumerate(x.path):
+            if path is not None:
+                seek = (x.seek_time[idx]
+                        if idx < len(x.seek_time) and x.seek_time[idx]
+                        else 0.0)
+                row_x = WavCondition(
+                    x.wav[idx:idx + 1], np.asarray(x.length)[idx:idx + 1],
+                    [x.sample_rate[idx]], [path], [seek])
+                rows.append(cache.get_embed_from_cache([path], row_x)[0])
+            else:
+                wav = jnp.asarray(x.wav[idx:idx + 1], jnp.float32)
+                if int(np.asarray(x.length[idx])) <= 1:
+                    rows.append(np.zeros((n_frames, self.n_chroma),
+                                         np.float32))
+                else:
+                    c = np.asarray(self._chroma()(wav))[0]
+                    c = c[:n_frames]
+                    if c.shape[0] < n_frames:
+                        c = np.pad(c, ((0, n_frames - c.shape[0]), (0, 0)))
+                    rows.append(c)
+        return {"chroma": np.stack(rows).astype(np.float32),
+                "length": np.asarray(x.length)}
 
     def _get_wav_embedding(self, x: WavCondition) -> jax.Array:
         """wav -> chroma [B, T_chroma, n_chroma] (`conditioners.py:700-740`)."""
@@ -653,12 +723,24 @@ class ChromaStemConditioner(WaveformConditioner):
         return chroma
 
     @nn.compact
-    def __call__(self, x: WavCondition) -> ConditionType:
-        chroma = self._get_wav_embedding(x)
+    def __call__(self, x) -> ConditionType:
+        if isinstance(x, dict) and "chroma" in x:
+            # precomputed by the embedding cache at tokenize time
+            chroma = jnp.asarray(x["chroma"])
+            if self.match_len_on_eval and chroma.shape[1] != self.chroma_len:
+                target = self.chroma_len
+                if chroma.shape[1] > target:
+                    chroma = chroma[:, :target]
+                else:
+                    n_repeat = int(math.ceil(target / chroma.shape[1]))
+                    chroma = jnp.tile(chroma, (1, n_repeat, 1))[:, :target]
+            lengths = jnp.asarray(x["length"]).reshape(-1)
+        else:
+            chroma = self._get_wav_embedding(x)
+            lengths = jnp.asarray(x.length).reshape(-1)
         embeds = nn.Dense(self.output_dim, dtype=self.dtype,
                           param_dtype=self.param_dtype,
                           name="output_proj")(chroma.astype(self.dtype))
-        lengths = jnp.asarray(x.length).reshape(-1)
         # null conditions (length 0) get a zero mask
         valid = (lengths > 0)[:, None]
         mask = jnp.ones_like(embeds[..., 0]) * valid

@@ -71,3 +71,29 @@ def test_clap_conditioner_is_gated():
         c.init(jax.random.PRNGKey(0),
                {"embed": np.zeros((1, 8), np.float32),
                 "valid": np.ones((1, 1), np.float32)})
+
+
+def test_chroma_embedding_cache(tmp_path):
+    """Per-file chroma cache with seek-based extraction
+    (`conditioners.py:646-658`)."""
+    from audiocraft_tpu.data.audio import audio_write
+    from audiocraft_tpu.modules.conditioners import (ChromaStemConditioner,
+                                                     WavCondition)
+    sr = 16000
+    wav = (0.3 * np.sin(2 * np.pi * 330 * np.arange(sr) / sr)
+           ).astype(np.float32)[None]
+    path = str(audio_write(tmp_path / "tone", wav, sr))
+    cond = ChromaStemConditioner(dim=12, output_dim=8, sample_rate=sr,
+                                 n_chroma=12, radix2_exp=10, duration=0.5,
+                                 cache_path=str(tmp_path / "cache"))
+    x = WavCondition(wav=np.zeros((1, 1, sr // 2), np.float32),
+                     length=np.array([sr // 2]), sample_rate=[sr],
+                     path=[path], seek_time=[0.0])
+    tok = cond.tokenize(x)
+    assert isinstance(tok, dict) and "chroma" in tok
+    tok2 = cond.tokenize(x)  # second hit reads from disk cache
+    np.testing.assert_allclose(tok["chroma"], tok2["chroma"])
+    assert len(list((tmp_path / "cache" / "wav").iterdir())) == 1
+    variables = cond.init(jax.random.PRNGKey(0), tok)
+    emb, mask = cond.apply(variables, tok)
+    assert emb.shape[0] == 1 and np.isfinite(np.asarray(emb)).all()
