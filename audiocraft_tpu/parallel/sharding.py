@@ -33,6 +33,10 @@ _TP_RULES: tp.List[tp.Tuple[str, tp.Callable[[tuple], tuple]]] = [
     # FFN up [E, F(+F)] / down [F, E]
     (r"linear1/kernel$", lambda s: (("fsdp",), ("tp",))),
     (r"linear2/kernel$", lambda s: (("tp",), ("fsdp",))),
+    # conditioner lookup tables: gather targets — sharding the vocab axis
+    # makes SPMD fully rematerialize around every take (see XLA b/433785288),
+    # so they stay replicated
+    (r"conditioners_.*/(embed|embedding)$", lambda s: tuple(None for _ in s)),
     # LM embeddings [K, V, D] and heads [K, D, card]
     (r"(^|/)emb$", lambda s: (None, ("fsdp",), None)),
     (r"(^|/)linears$", lambda s: (None, ("fsdp",), ("tp",))),

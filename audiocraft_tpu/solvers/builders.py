@@ -34,6 +34,7 @@ def get_solver(cfg: dict):
     from .magnet import MagnetSolver, AudioMagnetSolver
     from .diffusion import DiffusionSolver
     from .watermark import WatermarkSolver
+    from .jasco import JascoSolver
     klass = {
         "compression": CompressionSolver,
         "musicgen": MusicGenSolver,
@@ -42,6 +43,7 @@ def get_solver(cfg: dict):
         "audio_magnet": AudioMagnetSolver,
         "diffusion": DiffusionSolver,
         "watermarking": WatermarkSolver,
+        "jasco": JascoSolver,
     }[cfg["solver"]]
     return klass(cfg)
 

@@ -4,6 +4,7 @@ Parity: `audiocraft/solvers/jasco.py:19-287` — unquantized encoder latents,
 latent normalization, conditional-flow interpolation `z_t = t*x + (1-(1-s)t)*z0`
 and ground-truth field `x - (1-sigma_min)*z0`, MSE on v-theta.
 """
+import logging
 import typing as tp
 
 import jax
@@ -11,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
+
+logger = logging.getLogger(__name__)
 
 from ..models.flow_matching import FlowMatchingModel
 
@@ -95,22 +98,101 @@ class JascoSolver(SolverRunMixin):
 
     def run_step(self, idx: int, batch, metrics: dict) -> dict:
         wav, infos = batch if isinstance(batch, tuple) else (batch, None)
-        latents = self.get_latents(wav)
-        from ..modules.conditioners import ConditioningAttributes, SymbolicCondition
-        from ..modules.jasco_conditioners import JascoConditioningProvider
-        T = latents.shape[1]
-        if infos is not None:
-            attrs = [i.to_condition_attributes() for i in infos]
-        else:
-            attrs = [ConditioningAttributes(
-                text={"description": None},
-                symbolic={"chords": SymbolicCondition(
-                    frame_chords=np.zeros((T,), np.int32))})
-                for _ in range(latents.shape[0])]
-        provider = JascoConditioningProvider(self.model.conditioners,
-                                             sequence_length=T)
-        tokenized = provider.tokenize(attrs)
+        latents, tokenized = self._tokenize_batch(wav, infos)
         self.state, m = self._step(self.state, latents, tokenized,
                                    self._next_rng())
         metrics["loss"] = float(np.asarray(m["loss"]))
         return metrics
+
+    def _tokenize_batch(self, wav, infos):
+        """Latents + tokenized conditions with null chords/melody fallbacks
+        for datasets without the JASCO side-car files (`jasco.py:60-98`)."""
+        from ..modules.conditioners import (ConditioningAttributes,
+                                            SymbolicCondition)
+        from ..modules.jasco_conditioners import JascoConditioningProvider
+        latents = self.get_latents(wav)
+        T = latents.shape[1]
+        if infos is not None:
+            attrs = [i.to_condition_attributes() for i in infos]
+        else:
+            attrs = [ConditioningAttributes(text={"description": None})
+                     for _ in range(latents.shape[0])]
+        for a in attrs:
+            if "chords" in self.model.conditioners and "chords" not in a.symbolic:
+                a.symbolic["chords"] = SymbolicCondition(
+                    frame_chords=np.zeros((T,), np.int32))
+            if "melody" in self.model.conditioners and "melody" not in a.symbolic:
+                melody_dim = self.model.conditioners["melody"].melody_dim
+                a.symbolic["melody"] = SymbolicCondition(
+                    melody=np.zeros((melody_dim, T), np.float32))
+        provider = JascoConditioningProvider(self.model.conditioners,
+                                             sequence_length=T)
+        return latents, provider.tokenize(attrs)
+
+    def evaluate(self) -> dict:
+        """Flow-matching v-field MSE at fixed timesteps over the evaluate
+        split (`solvers/jasco.py:200-240`), per-timestep-bucket metrics."""
+        loader = self.dataloaders.get("evaluate")
+        if loader is None:
+            return {}
+        from ..models.flow_matching import FlowMatchingModel
+        model = self.model
+
+        @jax.jit
+        def eval_mse(params, latents, tokenized, t, rng):
+            condition_tensors = model.apply(
+                params, tokenized, method=FlowMatchingModel.compute_conditions)
+            x1 = latents
+            z0 = jax.random.normal(rng, x1.shape, x1.dtype)
+            sigma_min = 1e-4
+            tt = t[:, None, None]
+            zt = tt * x1 + (1 - (1 - sigma_min) * tt) * z0
+            target = x1 - (1 - sigma_min) * z0
+            v = model.apply(params, zt, t, condition_tensors)
+            return jnp.mean((v - target) ** 2)
+
+        buckets = {0.1: "t_low", 0.5: "t_mid", 0.9: "t_high"}
+        totals: tp.Dict[str, float] = {}
+        count = 0
+        for batch in loader:
+            wav, infos = batch if isinstance(batch, tuple) else (batch, None)
+            latents, tokenized = self._tokenize_batch(wav, infos)
+            for t_val, name in buckets.items():
+                t = jnp.full((latents.shape[0],), t_val, latents.dtype)
+                mse = eval_mse(self.state.params, latents, tokenized, t,
+                               self._next_rng())
+                totals[name] = totals.get(name, 0.0) + float(np.asarray(mse))
+            count += 1
+        metrics = {k: v / max(count, 1) for k, v in totals.items()}
+        metrics["loss"] = float(np.mean(list(metrics.values()))) \
+            if metrics else 0.0
+        return metrics
+
+    def generate(self) -> dict:
+        """Generate latents via the ODE sampler and decode through the codec,
+        stored with SampleManager (`solvers/jasco.py:242-268`)."""
+        import types
+        loader = (self.dataloaders.get("generate")
+                  or self.dataloaders.get("evaluate")
+                  or self.dataloaders.get("valid"))
+        if loader is None:
+            return {}
+        from ..utils.samples.manager import SampleManager
+        xp = types.SimpleNamespace(folder=self._folder, cfg=self.cfg)
+        manager = SampleManager(xp)
+        self.jasco.params = self.state.params
+        n = 0
+        for batch in loader:
+            wav, infos = batch if isinstance(batch, tuple) else (batch, None)
+            descs = [getattr(i, "description", None) or "" for i in infos] \
+                if infos is not None else [""] * np.asarray(wav).shape[0]
+            gen = np.asarray(self.jasco.generate(descs, progress=False))
+            manager.add_samples(gen, self.epoch,
+                                conditioning=[{"description": d}
+                                              for d in descs],
+                                ground_truth_wavs=np.asarray(wav))
+            n += gen.shape[0]
+            break
+        logger.info("Generated %d JASCO samples under %s", n,
+                    manager.base_folder)
+        return {"generated_samples": n}
