@@ -13,12 +13,35 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+_NATIVE_DIR = Path(__file__).parent.parent.parent / "native"
 _LIB_PATHS = [
-    Path(__file__).parent.parent.parent / "native" / "libaudiocraft_io.so",
+    _NATIVE_DIR / "libaudiocraft_io.so",
     Path("/usr/local/lib/libaudiocraft_io.so"),
 ]
 
+
+def _maybe_build() -> None:
+    """Build the native library from source when missing or stale.
+
+    The .so is intentionally NOT committed (binaries can't be reviewed);
+    it is compiled on first use from native/audio_io.cc.
+    """
+    src = _NATIVE_DIR / "audio_io.cc"
+    so = _LIB_PATHS[0]
+    if not src.exists():
+        return
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+    except Exception as e:  # missing toolchain: fall back to python path
+        logger.warning("native audio lib build failed: %s", e)
+
+
 _lib = None
+_maybe_build()
 for p in _LIB_PATHS:
     if p.exists():
         try:
@@ -70,10 +93,12 @@ def wav_read(path: str, seek_time: float = 0.0, duration: float = -1.0
     sr, ch, total = wav_info(path)
     start = int(seek_time * sr)
     want = int(duration * sr) if duration > 0 else max(total - start, 0)
+    # the native side writes channel c at stride out_capacity_frames, so the
+    # capacity we pass MUST be the allocated column count
     out = np.empty((ch, max(want, 1)), np.float32)
     got = _lib.wav_read(str(path).encode(), start, want,
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                        want)
+                        out.shape[1])
     if got < 0:
         raise RuntimeError(f"native wav_read failed ({got}) for {path}")
     return out[:, :got].copy(), sr

@@ -227,7 +227,10 @@ class InterleaveStereoCompressionModel(CompressionModel):
 
     @property
     def num_codebooks(self):
-        """Active codebooks of the underlying model x2 (`encodec.py:424-432`)."""
+        """Active codebooks (`encodec.py:424-432`): doubled when codebooks
+        are interleaved, unchanged when timesteps are (per_timestep)."""
+        if self.per_timestep:
+            return self.model.num_codebooks
         return self.model.num_codebooks * 2
 
     def set_num_codebooks(self, n: int):
@@ -268,8 +271,10 @@ class InterleaveStereoCompressionModel(CompressionModel):
         if scales_c0 is not None and scales_c1 is not None:
             scales = jnp.stack([scales_c0, scales_c1], axis=1)
         if self.per_timestep:
-            # [B, K, T2] interleaving channel codes per timestep
-            indices = jnp.einsum("cbkt->bkct", indices).reshape(
+            # [B, K, 2T] interleaving channel codes per timestep: (t c)
+            # ordering — c0t0, c1t0, c0t1, ... — matching the reference's
+            # rearrange('c b k t -> b k (t c)') and get_left_right_codes
+            indices = jnp.einsum("cbkt->bktc", indices).reshape(
                 B, self.model.num_codebooks, -1)
         else:
             # [B, 2K, T] interleaving codebooks c0k0, c1k0, c0k1, ...

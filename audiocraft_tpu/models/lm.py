@@ -213,8 +213,14 @@ class LMModel(nn.Module):
         logits, _ = self(sequence_codes, condition_tensors, attn_bias=attn_bias,
                          deterministic=deterministic)
         logits = logits.transpose(0, 3, 1, 2)  # [B, card, K, S]
+        # Fill invalid pattern positions with 0.0, NOT NaN: the reference
+        # gathers only mask-selected logits before F.cross_entropy so NaN is
+        # never exposed, but here the loss multiplies by the mask and
+        # NaN * 0 == NaN — forward/backward must be finite by construction
+        # (XLA folding NaN*0 -> 0 is undefined behavior, not a guarantee).
+        # Invalid positions are identified by `logits_mask`.
         logits, _, logits_mask = pattern.revert_pattern_logits(
-            logits, float("nan"), keep_only_valid_steps=keep_only_valid_steps)
+            logits, 0.0, keep_only_valid_steps=keep_only_valid_steps)
         logits = logits.transpose(0, 2, 3, 1)  # [B, K, T, card]
         logits_mask = jnp.broadcast_to(jnp.asarray(logits_mask)[None], (B, K, T))
         return LMOutput(logits, logits_mask)

@@ -108,7 +108,8 @@ class MagnetSolver(MusicGenSolver):
             mask_k = loss_mask[:, stage].astype(jnp.float32)
             logp = jax.nn.log_softmax(logits_k.astype(jnp.float32), axis=-1)
             ce_all = -jnp.take_along_axis(logp, targets_k[..., None], -1)[..., 0]
-            ce = jnp.sum(ce_all * mask_k) / jnp.maximum(jnp.sum(mask_k), 1.0)
+            ce_sel = jnp.where(mask_k.astype(bool), ce_all, 0.0)
+            ce = jnp.sum(ce_sel) / jnp.maximum(jnp.sum(mask_k), 1.0)
             return ce
 
         def step(state, input_tokens, targets, loss_mask, tokenized):
@@ -186,8 +187,8 @@ class MagnetSolver(MusicGenSolver):
                 logp = jax.nn.log_softmax(logits_k.astype(jnp.float32), -1)
                 ce_all = -jnp.take_along_axis(
                     logp, targets_k[..., None], -1)[..., 0]
-                return jnp.sum(ce_all * mask_k) / jnp.maximum(
-                    jnp.sum(mask_k), 1.0)
+                ce_sel = jnp.where(mask_k.astype(bool), ce_all, 0.0)
+                return jnp.sum(ce_sel) / jnp.maximum(jnp.sum(mask_k), 1.0)
 
             fn = jax.jit(eval_step)
             self._magnet_eval_steps[key] = fn

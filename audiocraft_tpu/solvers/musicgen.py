@@ -48,8 +48,11 @@ def compute_cross_entropy(logits: jax.Array, targets: jax.Array,
     B, K, T = targets.shape
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ce_all = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    # select-then-sum (jnp.where, not multiply): ce_all can be non-finite at
+    # masked positions and NaN * 0 == NaN would poison forward AND grads
+    ce_sel = jnp.where(mask.astype(bool), ce_all, 0.0)
     mask = mask.astype(jnp.float32)
-    ce_per_codebook = (jnp.sum(ce_all * mask, axis=(0, 2))
+    ce_per_codebook = (jnp.sum(ce_sel, axis=(0, 2))
                        / jnp.maximum(jnp.sum(mask, axis=(0, 2)), 1.0))  # [K]
     return jnp.mean(ce_per_codebook), ce_per_codebook
 

@@ -29,7 +29,17 @@ logger = logging.getLogger(__name__)
 def _load_torch_state(path: Path) -> tp.Tuple[dict, dict]:
     """Load an audiocraft exported package: (flat state dict, cfg)."""
     import torch
-    pkg = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # safe path first: refuses pickled code execution
+        pkg = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # reference checkpoints embed an OmegaConf cfg payload that
+        # weights_only rejects; loading it executes pickle bytecode, so
+        # only do this for files the user deliberately placed in the cache
+        logging.getLogger(__name__).warning(
+            "weights_only load failed for %s; falling back to full pickle "
+            "(trusted-checkpoint path)", path)
+        pkg = torch.load(path, map_location="cpu", weights_only=False)
     if "best_state" in pkg:
         state = pkg["best_state"]
         cfg = pkg.get("xp.cfg", {})

@@ -36,6 +36,7 @@ bool parse_header(FILE* f, WavInfo* info) {
     uint32_t size;
     memcpy(&size, chunk + 4, 4);
     if (memcmp(chunk, "fmt ", 4) == 0) {
+      if (size < 16) return false;  // malformed: PCM fmt chunk is >= 16 bytes
       std::vector<char> fmt(size);
       if (fread(fmt.data(), 1, size, f) != size) return false;
       memcpy(&info->format, fmt.data(), 2);
@@ -79,8 +80,11 @@ int wav_info(const char* path, int* sample_rate, int* channels,
   return 0;
 }
 
-// Decode [start_frame, start_frame + max_frames) into out (planar [C, T]
-// float32). Returns number of frames decoded, or -errno.
+// Decode [start_frame, start_frame + max_frames) into out — planar
+// [C, out_capacity_frames] float32: channel c is written at stride
+// out_capacity_frames (the caller's allocation), NOT at the decoded
+// length, so short reads stay aligned with the caller's 2-D view.
+// Returns number of frames decoded, or -errno.
 long wav_read(const char* path, long start_frame, long max_frames,
               float* out, long out_capacity_frames) {
   FILE* f = fopen(path, "rb");
@@ -89,6 +93,12 @@ long wav_read(const char* path, long start_frame, long max_frames,
   if (!parse_header(f, &info)) {
     fclose(f);
     return -2;
+  }
+  if (info.channels == 0 ||
+      (info.bits != 8 && info.bits != 16 && info.bits != 24 &&
+       info.bits != 32)) {
+    fclose(f);
+    return -3;
   }
   const int C = info.channels;
   const int bytes_per_sample = info.bits / 8;
@@ -125,7 +135,7 @@ long wav_read(const char* path, long start_frame, long max_frames,
       } else if (info.bits == 8) {
         v = (p[0] - 128) / 128.f;
       }
-      out[c * n + t] = v;
+      out[c * out_capacity_frames + t] = v;
     }
   }
   return n;
@@ -133,12 +143,14 @@ long wav_read(const char* path, long start_frame, long max_frames,
 
 // Polyphase windowed-sinc resampling matching ops/resample.py semantics:
 // kernel[phase, j] = h(j - half - phase*q/p), Hann-windowed sinc lowpass.
-// in: [C, T] planar. out: [C, ceil(T*new_sr/old_sr)]. Returns out frames.
+// in: [C, T] planar (compact, channel stride T). out: planar with channel
+// stride out_capacity (the caller's allocation). Returns out frames.
 long resample(const float* in, long T, int C, int old_sr, int new_sr,
               int zeros, float rolloff, float* out, long out_capacity) {
   if (old_sr == new_sr) {
     long n = T < out_capacity ? T : out_capacity;
-    memcpy(out, in, sizeof(float) * n * C);
+    for (int c = 0; c < C; ++c)
+      memcpy(out + c * out_capacity, in + c * T, sizeof(float) * n);
     return n;
   }
   // reduce by gcd
@@ -173,7 +185,7 @@ long resample(const float* in, long T, int C, int old_sr, int new_sr,
 
   for (int c = 0; c < C; ++c) {
     const float* src = in + c * T;
-    float* dst = out + c * n_out;
+    float* dst = out + c * out_capacity;
     for (long m = 0; m < n_out; ++m) {
       const long frame = m / p;
       const int phase = static_cast<int>(m % p);
@@ -203,11 +215,21 @@ long wav_read_resample(const char* path, double seek_time, double duration,
                         ? static_cast<long>(duration * sr)
                         : -1;
   long want = max_frames >= 0 ? max_frames : total - start;
+  if (want < 0) want = 0;
   std::vector<float> buf(static_cast<size_t>(want) * ch);
   long n = wav_read(path, start, want, buf.data(), want);
   if (n < 0) return n;
+  if (n < want) {
+    // compact short reads: wav_read wrote channel c at stride `want`;
+    // downstream consumers expect compact stride n. Ascending c is safe
+    // (dest c*n <= src c*want, regions shrink left).
+    for (int c = 1; c < ch; ++c)
+      memmove(buf.data() + static_cast<size_t>(c) * n,
+              buf.data() + static_cast<size_t>(c) * want,
+              sizeof(float) * n);
+  }
 
-  // channel conversion (planar)
+  // channel conversion (planar, compact stride n)
   std::vector<float> mono;
   const float* src = buf.data();
   int src_ch = ch;
@@ -224,19 +246,21 @@ long wav_read_resample(const char* path, double seek_time, double duration,
 
   if (sr == target_sr && src_ch == target_channels) {
     long frames = n < out_capacity_frames ? n : out_capacity_frames;
-    memcpy(out, src, sizeof(float) * frames * src_ch);
+    for (int c = 0; c < src_ch; ++c)
+      memcpy(out + c * out_capacity_frames, src + c * n,
+             sizeof(float) * frames);
     return frames;
   }
   if (src_ch == target_channels) {
     return resample(src, n, src_ch, sr, target_sr, 24, 0.945f, out,
                     out_capacity_frames);
   }
-  // mono -> multi: resample then replicate
+  // mono -> multi: resample then replicate at the caller's stride
   std::vector<float> res(static_cast<size_t>(out_capacity_frames));
   long rn = resample(src, n, 1, sr, target_sr, 24, 0.945f, res.data(),
                      out_capacity_frames);
   for (int c = 0; c < target_channels; ++c)
-    memcpy(out + c * rn, res.data(), sizeof(float) * rn);
+    memcpy(out + c * out_capacity_frames, res.data(), sizeof(float) * rn);
   return rn;
 }
 
