@@ -109,6 +109,14 @@ def _install_stubs() -> None:
             _stub(name)
     sys.modules["num2words"].num2words = lambda n, **k: str(n)
 
+    # xformers.ops: the reference's custom-MHA path only needs unbind
+    # (a thin torch wrapper); attention kernels stay unavailable so
+    # memory_efficient_attention=True configs fail loudly.
+    import torch as _torch
+    sys.modules["xformers.ops"].unbind = (
+        lambda x, dim=0: _torch.unbind(x, dim=dim))
+    sys.modules["xformers"].ops = sys.modules["xformers.ops"]
+
 
 def import_reference(module: str):
     """Import ``audiocraft.<module>`` (or a fully-qualified name) from the
