@@ -41,6 +41,7 @@ def _maybe_build() -> None:
 
 
 _lib = None
+_avlib = None
 _maybe_build()
 for p in _LIB_PATHS:
     if p.exists():
@@ -49,6 +50,14 @@ for p in _LIB_PATHS:
             break
         except OSError as e:
             logger.warning("Failed loading native audio lib %s: %s", p, e)
+for p in [_NATIVE_DIR / "libaudiocraft_av.so",
+          Path("/usr/local/lib/libaudiocraft_av.so")]:
+    if p.exists():
+        try:
+            _avlib = ctypes.CDLL(str(p))
+            break
+        except OSError as e:  # e.g. system libav* missing at runtime
+            logger.warning("Failed loading native libav wrapper %s: %s", p, e)
 
 if _lib is not None:
     _lib.wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -69,8 +78,83 @@ if _lib is not None:
     _lib.wav_read_resample.restype = ctypes.c_long
 
 
+if _avlib is not None:
+    _avlib.av_audio_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_double)]
+    _avlib.av_audio_info.restype = ctypes.c_int
+    _avlib.av_audio_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    _avlib.av_audio_read.restype = ctypes.c_long
+    _avlib.av_audio_write.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+    _avlib.av_audio_write.restype = ctypes.c_int
+
+
 def available() -> bool:
     return _lib is not None
+
+
+def av_available() -> bool:
+    """Whether the libav-backed compressed-audio path is usable."""
+    return _avlib is not None
+
+
+def av_info(path: str) -> tp.Tuple[int, int, int, float]:
+    """(sample_rate, channels, est_frames, duration_sec) for any format
+    ffmpeg can demux (mp3/ogg/flac/aac/opus/wav)."""
+    assert _avlib is not None
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    n = ctypes.c_long()
+    dur = ctypes.c_double()
+    rc = _avlib.av_audio_info(str(path).encode(), ctypes.byref(sr),
+                              ctypes.byref(ch), ctypes.byref(n),
+                              ctypes.byref(dur))
+    if rc != 0:
+        raise RuntimeError(f"native av_audio_info failed ({rc}) for {path}")
+    return sr.value, ch.value, n.value, dur.value
+
+
+def av_read(path: str, seek_time: float = 0.0, duration: float = -1.0
+            ) -> tp.Tuple[np.ndarray, int]:
+    """Decode compressed audio with sample-accurate seek: ([C, T] f32, sr)."""
+    assert _avlib is not None
+    sr, ch, total, dur = av_info(path)
+    if duration > 0:
+        cap = int(duration * sr + 0.5) + 1
+    else:
+        # VBR estimates can undershoot; leave headroom and trim after
+        cap = max(total - int(seek_time * sr), 0) + sr
+    cap = max(cap, 1)
+    out = np.zeros((max(ch, 1), cap), np.float32)
+    out_sr = ctypes.c_int()
+    out_ch = ctypes.c_int()
+    got = _avlib.av_audio_read(
+        str(path).encode(), float(seek_time), float(duration),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        ctypes.byref(out_sr), ctypes.byref(out_ch))
+    if got < 0:
+        raise RuntimeError(f"native av_audio_read failed ({got}) for {path}")
+    return out[:out_ch.value, :got].copy(), out_sr.value
+
+
+def av_write(path: str, wav: np.ndarray, sample_rate: int, format: str,
+             bitrate_kbps: int = 0) -> None:
+    """Encode [C, T] float32 to wav/mp3/ogg/flac/aac/opus."""
+    assert _avlib is not None
+    wav = np.ascontiguousarray(np.asarray(wav, np.float32).T)  # [T, C]
+    frames, ch = wav.shape
+    rc = _avlib.av_audio_write(
+        str(path).encode(),
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frames, ch, int(sample_rate), format.encode(), int(bitrate_kbps))
+    if rc != 0:
+        raise RuntimeError(f"native av_audio_write failed ({rc}) for {path}")
 
 
 def wav_info(path: str) -> tp.Tuple[int, int, int]:

@@ -1,10 +1,11 @@
 """Audio IO: read/write with seek support.
 
 Parity: `audiocraft/data/audio.py:26-291`. The reference decodes via
-PyAV/soundfile and encodes via ffmpeg subprocess; none of those exist in this
-image, so the native WAV path is implemented directly on the RIFF format
-(16/24/32-bit PCM + float32, streaming seek reads without loading the whole
-file) and compressed formats raise a clear gating error. The data plane is
+PyAV/soundfile and encodes via ffmpeg subprocess. Here WAV reads go through a
+first-party RIFF reader (16/24/32-bit PCM + float32, byte-range seek without
+loading the whole file), and compressed formats (mp3/ogg/flac/aac/opus)
+decode/encode through `native/av_io.cc`, a C++ wrapper over the system
+libavformat/libavcodec with sample-accurate pre-roll seek. The data plane is
 host-side by design — decoding never touches the TPU.
 """
 import struct
@@ -57,11 +58,15 @@ def _parse_wav_header(f) -> tp.Tuple[int, int, int, int, int, int]:
 def audio_info(filepath: tp.Union[str, Path]) -> AudioFileInfo:
     """File metadata without decoding (`audio.py:44-69`)."""
     filepath = Path(filepath)
-    if filepath.suffix.lower() != ".wav":
-        raise RuntimeError(
-            f"Cannot read {filepath.suffix} without ffmpeg/pyav; only WAV is "
-            "supported in this environment.")
     from . import _native
+    if filepath.suffix.lower() != ".wav":
+        if _native.av_available():
+            sr, ch, _, dur = _native.av_info(str(filepath))
+            return AudioFileInfo(sr, dur, ch)
+        raise RuntimeError(
+            f"Cannot read {filepath.suffix}: the native libav wrapper is "
+            "unavailable (build with `make -C native`); only WAV has a "
+            "pure-python fallback.")
     if _native.available():
         sr, ch, frames = _native.wav_info(str(filepath))
         return AudioFileInfo(sr, frames / sr, ch)
@@ -74,14 +79,24 @@ def audio_info(filepath: tp.Union[str, Path]) -> AudioFileInfo:
 def audio_read(filepath: tp.Union[str, Path], seek_time: float = 0.0,
                duration: float = -1.0, pad: bool = False
                ) -> tp.Tuple[np.ndarray, int]:
-    """Read audio (WAV) with seek, returning ([C, T] float32, sample_rate)
-    (`audio.py:116-145`). Reads only the requested byte range."""
+    """Read audio with seek, returning ([C, T] float32, sample_rate)
+    (`audio.py:116-145`). WAV goes through the byte-range RIFF reader;
+    compressed formats (mp3/ogg/flac/aac/opus) decode through the native
+    libav wrapper with sample-accurate pre-roll seek."""
     filepath = Path(filepath)
-    if filepath.suffix.lower() != ".wav":
-        raise RuntimeError(
-            f"Cannot decode {filepath.suffix} without ffmpeg/pyav; only WAV is "
-            "supported in this environment.")
     from . import _native
+    if filepath.suffix.lower() != ".wav":
+        if not _native.av_available():
+            raise RuntimeError(
+                f"Cannot decode {filepath.suffix}: the native libav wrapper "
+                "is unavailable (build with `make -C native`); only WAV has "
+                "a pure-python fallback.")
+        wav, sample_rate = _native.av_read(str(filepath), seek_time, duration)
+        if duration > 0:
+            expected_frames = int(duration * sample_rate)
+            if pad and wav.shape[-1] < expected_frames:
+                wav = np.pad(wav, ((0, 0), (0, expected_frames - wav.shape[-1])))
+        return wav, sample_rate
     if _native.available():
         wav, sample_rate = _native.wav_read(str(filepath), seek_time, duration)
         if duration > 0:
@@ -162,15 +177,28 @@ def audio_write(stem_name: tp.Union[str, Path], wav, sample_rate: int,
                           rms_headroom_db, loudness_headroom_db,
                           loudness_compressor, log_clipping=log_clipping,
                           sample_rate=sample_rate, stem_name=str(stem_name))
-    if format != "wav":
-        raise RuntimeError(f"Invalid format {format}: only wav is supported "
-                           "without ffmpeg in this environment.")
-    suffix = "." + format
+    from . import _native
+    if format == "wav":
+        writer = lambda p: _write_wav(p, wav, sample_rate)  # noqa: E731
+        suffix = ".wav"
+    elif format in ("mp3", "ogg", "flac", "aac", "opus"):
+        if not _native.av_available():
+            raise RuntimeError(
+                f"Invalid format {format}: the native libav wrapper is "
+                "unavailable (build with `make -C native`).")
+        bitrate = {"mp3": 320, "ogg": 128, "aac": 128, "opus": 128,
+                   "flac": 0}[format]
+        writer = lambda p: _native.av_write(  # noqa: E731
+            str(p), wav, sample_rate, format, bitrate)
+        suffix = ".m4a" if format == "aac" else "." + format
+    else:
+        raise RuntimeError(f"Invalid format {format}. Only wav/mp3/ogg/flac/"
+                           "aac/opus are supported.")
     path = Path(str(stem_name) + suffix) if add_suffix else Path(stem_name)
     if make_parent_dir:
         path.parent.mkdir(exist_ok=True, parents=True)
     try:
-        _write_wav(path, wav, sample_rate)
+        writer(path)
     except Exception:
         if path.exists():
             path.unlink()

@@ -7,11 +7,14 @@ ITU-R BS.1770-4 (K-weighting + gated measurement) natively instead of
 torchaudio. The mp3/aac round-trip augmentations require ffmpeg, which is not
 in this image — they raise a clear error when invoked (`audio_utils.py:233-316`).
 """
+import logging
 import typing as tp
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from ..ops.resample import resample_frac
 
@@ -194,15 +197,72 @@ def i16_pcm(wav: np.ndarray) -> np.ndarray:
     return wav
 
 
+def _parse_bitrate(bitrate: str) -> int:
+    import re
+    match = re.search(r"\d+(\.\d+)?", str(bitrate))
+    return int(float(match.group())) if match else 128
+
+
+def _codec_round_trip(wav: np.ndarray, sr: int, fmt: str, bitrate_kbps: int
+                      ) -> np.ndarray:
+    """Host-side lossy round trip through the native libav wrapper.
+
+    Mirrors the reference's flatten-compress-reshape scheme
+    (`audio_utils.py:250-271`): the [B, C, T] batch is flattened to one long
+    mono stream so a single encoder call covers the batch.
+    """
+    import tempfile
+    from . import _native
+    wav = np.asarray(wav, np.float32)
+    b, c, t = wav.shape
+    flat = np.clip(wav.reshape(1, -1), -1.0, 1.0)
+    suffix = ".m4a" if fmt == "aac" else "." + fmt
+    with tempfile.NamedTemporaryFile(suffix=suffix) as f:
+        _native.av_write(f.name, flat, sr, fmt, bitrate_kbps)
+        back, _ = _native.av_read(f.name)
+    back = back.reshape(-1)
+    total = b * c * t
+    if back.shape[0] >= total:
+        back = back[:total]
+    else:
+        back = np.pad(back, (0, total - back.shape[0]))
+    return back.reshape(b, c, t).astype(np.float32)
+
+
+def _jittable_round_trip(wav, sr: int, fmt: str, bitrate: str):
+    """Round trip usable under jit: pure_callback to the host codec with a
+    straight-through gradient (the reference detaches the codec delta the
+    same way, `audio_effects.py:146-175`). pure_callback has no JVP rule, so
+    the identity gradient is attached with custom_vjp."""
+    kbps = _parse_bitrate(bitrate)
+    if isinstance(wav, np.ndarray):
+        return _codec_round_trip(wav, sr, fmt, kbps)
+
+    @jax.custom_vjp
+    def round_trip(x):
+        return jax.pure_callback(
+            lambda a: _codec_round_trip(np.asarray(a), sr, fmt, kbps),
+            jax.ShapeDtypeStruct(x.shape, jnp.float32), x,
+            vmap_method="sequential")
+
+    round_trip.defvjp(lambda x: (round_trip(x), None),
+                      lambda _, g: (g,))
+    return round_trip(wav)
+
+
 def get_mp3(wav, sr: int, bitrate: str = "128k"):
-    """mp3 round-trip augmentation — requires ffmpeg
-    (`audio_utils.py:233-271`)."""
-    raise RuntimeError("ffmpeg is not available in this environment; "
-                       "mp3 compression augmentation is disabled.")
+    """mp3 round-trip augmentation via native libav (`audio_utils.py:233-271`).
+
+    Accepts [B, C, T] numpy (eager) or jax arrays (jit-safe via
+    pure_callback with straight-through gradients)."""
+    return _jittable_round_trip(wav, sr, "mp3", bitrate)
 
 
 def get_aac(wav, sr: int, bitrate: str = "128k", lowpass_freq=None):
-    """aac round-trip augmentation — requires ffmpeg
-    (`audio_utils.py:274-316`)."""
-    raise RuntimeError("ffmpeg is not available in this environment; "
-                       "aac compression augmentation is disabled.")
+    """aac round-trip augmentation via native libav (`audio_utils.py:274-316`).
+    `lowpass_freq` is accepted for API parity; the native encoder does not
+    expose ffmpeg's -cutoff, so it is ignored (warned once)."""
+    if lowpass_freq is not None:
+        logger.warning("get_aac: lowpass_freq is not supported by the native "
+                       "encoder and is ignored")
+    return _jittable_round_trip(wav, sr, "aac", bitrate)

@@ -2,9 +2,11 @@
 
 Parity: `audiocraft/utils/audio_effects.py:24-457` — speed, up/down resample,
 echo, white/pink noise, low/high/band-pass, smooth, duck, boost, shush,
-EnCodec re-compression with straight-through gradient, and weighted random
-effect selection. mp3/aac effects require ffmpeg and raise (gated).
+EnCodec/mp3/aac re-compression with straight-through gradients, and weighted
+random effect selection. mp3/aac round-trip through the native libav wrapper
+(jit-safe via pure_callback).
 """
+import logging
 import random
 import typing as tp
 from functools import partial
@@ -178,12 +180,30 @@ class AudioEffects:
     @staticmethod
     def mp3_compression(tensor, sample_rate: int = 16000, bitrate: str = "128k",
                         mask=None):
-        raise RuntimeError("ffmpeg unavailable: mp3 compression attack disabled")
+        """mp3 lossy round trip with straight-through gradient
+        (`audio_effects.py:408-426`), via the native libav wrapper. Falls
+        back to the EnCodec-compression attack when libav is unavailable."""
+        from ..data import _native
+        from ..data.audio_utils import get_mp3
+        if not _native.av_available():
+            logging.getLogger(__name__).warning(
+                "mp3 attack: native libav unavailable, using identity")
+            return audio_effect_return(tensor, mask)
+        return audio_effect_return(get_mp3(tensor, sample_rate, bitrate), mask)
 
     @staticmethod
     def aac_compression(tensor, sample_rate: int = 16000, bitrate: str = "128k",
                         lowpass_freq=None, mask=None):
-        raise RuntimeError("ffmpeg unavailable: aac compression attack disabled")
+        """aac lossy round trip with straight-through gradient
+        (`audio_effects.py:428-452`)."""
+        from ..data import _native
+        from ..data.audio_utils import get_aac
+        if not _native.av_available():
+            logging.getLogger(__name__).warning(
+                "aac attack: native libav unavailable, using identity")
+            return audio_effect_return(tensor, mask)
+        return audio_effect_return(
+            get_aac(tensor, sample_rate, bitrate, lowpass_freq), mask)
 
 
 def select_audio_effects(audio_effects: tp.Dict,
