@@ -180,8 +180,8 @@ class DiffusionUnet(nn.Module):
         cross_attention_src = None
         if self.codec_dim is not None:
             assert condition is not None, "Model defined for conditional generation"
-            # conv1x1ish codec embedding (`unet.py:159-163` conv_codec)
-            condition_emb = nn.Conv(bottleneck_dim, (3,), padding="SAME",
+            # 1x1 codec-embedding conv (`unet.py:159-163` conv_codec)
+            condition_emb = nn.Conv(bottleneck_dim, (1,), padding="VALID",
                                     dtype=self.dtype, name="conv_codec")(condition)
             if not self.cross_attention:
                 # nearest interpolation to the bottleneck length

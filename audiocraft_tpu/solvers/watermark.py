@@ -126,12 +126,21 @@ class WatermarkSolver(SolverRunMixin):
         self._rng, r = jax.random.split(self._rng)
         return r
 
+    # codec round trips run on the host (no TPU callback support); the jitted
+    # step receives the precomputed attack delta and applies it additively,
+    # which is exactly the straight-through semantics of the reference
+    # (`utils/audio_effects.py:146-175`): value = codec(y), grad = identity.
+    CODEC_EFFECTS = ("mp3_compression", "aac_compression")
+
     def _get_step(self, effect_name: str):
         """One jitted train step per sampled augmentation."""
         if effect_name in self._steps_cache:
             return self._steps_cache[effect_name]
         model = self.model
-        effect = self.augmentations[effect_name]
+        if effect_name in self.CODEC_EFFECTS:
+            effect = None  # replaced by the additive host-computed delta
+        else:
+            effect = self.augmentations[effect_name]
         balancer = self.balancer
         optimizer = self.optimizer
         percep = {k: f for k, f in self.percep_losses.items()
@@ -139,13 +148,22 @@ class WatermarkSolver(SolverRunMixin):
         det_w, mb_w = self.wm_detection_weight, self.wm_mb_weight
         detection_loss, decoding_loss = self.detection_loss, self.decoding_loss
 
-        def step(state: WatermarkTrainState, x, message, mask, rng):
+        def step(state: WatermarkTrainState, x, message, mask, rng,
+                 attack_delta=None):
             def loss_fn(params, y_wm):
-                positive = model.detect_watermark(
-                    params, effect(y_wm * mask[:, :1], mask=None))
+                # mask is true_predictions-ordered [B, 2, T]: channel 0 =
+                # non-watermarked, channel 1 = watermarked (matching the
+                # detector's class order, `modules/watermark.py:28`)
+                wm_mask = mask[:, 1:2]
+                attacked = y_wm * wm_mask
+                if effect is not None:
+                    attacked = effect(attacked, mask=None)
+                if attack_delta is not None:
+                    attacked = attacked + jax.lax.stop_gradient(attack_delta)
+                positive = model.detect_watermark(params, attacked)
                 negative = model.detect_watermark(params, x)
-                loss_det = detection_loss(positive, negative, mask[:, :1])
-                loss_mb = decoding_loss(positive, negative, mask[:, :1], message)
+                loss_det = detection_loss(positive, negative, wm_mask)
+                loss_mb = decoding_loss(positive, negative, wm_mask, message)
                 return det_w * loss_det + mb_w * loss_mb, (loss_det, loss_mb)
 
             # generator fwd with vjp for the balancer
@@ -263,7 +281,34 @@ class WatermarkSolver(SolverRunMixin):
                                        mode="weighted", max_length=1)
         effect_name = list(effects.keys())[0]
         step = self._get_step(effect_name)
+        rng = self._next_rng()
+        attack_delta = None
+        if effect_name in self.CODEC_EFFECTS:
+            # host codec round trip on the (deterministically recomputed)
+            # watermarked batch; the jitted step adds the delta with a
+            # stop_gradient = straight-through attack
+            if not hasattr(self, "_gen_fwd_jit"):
+                model = self.model
+                self._gen_fwd_jit = jax.jit(lambda p, a, msg: a + (
+                    model.generator.apply(p["generator"], a, msg,
+                                          method=AudioSealWM.get_watermark)))
+            y_wm = np.asarray(self._gen_fwd_jit(
+                self.state.params, jnp.asarray(x), jnp.asarray(message)))
+            y_masked = y_wm * mask
+            from ..data.audio_utils import get_aac, get_mp3
+            cfg = getattr(self.augmentations[effect_name], "keywords", {})
+            codec = get_mp3 if effect_name == "mp3_compression" else get_aac
+            try:
+                attacked = codec(y_masked.astype(np.float32),
+                                 int(cfg.get("sample_rate", self.sample_rate)),
+                                 cfg.get("bitrate", "128k"))
+                attack_delta = jnp.asarray(attacked - y_masked)
+            except Exception as e:  # codec unavailable: identity attack
+                logger.warning("codec attack %s failed (%s); using identity",
+                               effect_name, e)
+                attack_delta = jnp.zeros_like(jnp.asarray(y_masked))
         self.state, m = step(self.state, jnp.asarray(x), jnp.asarray(message),
-                             jnp.asarray(mask2), self._next_rng())
+                             jnp.asarray(mask2), rng,
+                             attack_delta=attack_delta)
         metrics.update({k: float(np.asarray(v)) for k, v in m.items()})
         return metrics
