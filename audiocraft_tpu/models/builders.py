@@ -125,6 +125,29 @@ def get_conditioners(output_dim: int, cfg) -> tp.Dict[str, BaseConditioner]:
             model_args.pop("cache_path", None)
             conditioners[str(cond)] = CLAPEmbeddingConditioner(
                 output_dim=output_dim, attribute=str(cond), **model_args)
+        elif model_type in ("chords_emb", "drum_latents", "melody"):
+            # JASCO symbolic/latent conditioners (`builders.py:206-211`)
+            from ..modules.jasco_conditioners import (ChordsEmbConditioner,
+                                                      DrumsConditioner,
+                                                      MelodyConditioner)
+            model_args.pop("device", None)
+            model_args.pop("cache_path", None)
+            if model_type == "chords_emb":
+                conditioners[str(cond)] = ChordsEmbConditioner(
+                    card=model_args["card"], out_dim=model_args["out_dim"])
+            elif model_type == "melody":
+                conditioners[str(cond)] = MelodyConditioner(
+                    card=model_args["card"],
+                    output_dim=model_args["out_dim"])
+            else:
+                out_dim = model_args.pop("out_dim")
+                conditioners[str(cond)] = DrumsConditioner(
+                    output_dim=out_dim,
+                    **{k: v for k, v in model_args.items()
+                       if k in ("sample_rate", "blurring_factor",
+                                "compression_model_latent_dim",
+                                "compression_model_framerate",
+                                "segment_duration")})
         else:
             raise ValueError(f"Unrecognized conditioning model: {model_type}")
     return conditioners
@@ -280,6 +303,29 @@ def get_debug_magnet_lm_model() -> tp.Tuple["LMModel", tp.Any]:
         segment_duration=10, span_len=3)
     params = init_lm_params(model, jax.random.PRNGKey(0))
     return model, params
+
+
+def get_jasco_model(cfg, compression_model=None) -> "tp.Any":
+    """Config -> FlowMatchingModel (`ref builders.py:94-137`). Returns the
+    flax module; params come from torch conversion or init."""
+    from .flow_matching import FlowMatchingModel
+    kwargs = dict_from_config(_get(cfg, "transformer_lm", {}))
+    fuser = get_condition_fuser(cfg)
+    conditioners = get_conditioners(kwargs.get("dim", 512), cfg)
+    if len(fuser.fuse2cond.get("cross", [])) > 0:
+        kwargs["cross_attention"] = True
+    kwargs.pop("n_q", None)
+    kwargs.pop("card", None)
+    cfg_coef = dict_from_config(
+        _get(cfg, "classifier_free_guidance", {})).get("inference_coef", 1.0)
+    allowed = {f.name for f in FlowMatchingModel.__dataclass_fields__.values()} \
+        if hasattr(FlowMatchingModel, "__dataclass_fields__") else set()
+    dropped = {k for k in kwargs if k not in allowed}
+    if dropped:
+        logger.debug("get_jasco_model: dropping unsupported kwargs %s", dropped)
+    kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+    return FlowMatchingModel(conditioners=conditioners, fuser=fuser,
+                             cfg_coef=cfg_coef, **kwargs)
 
 
 def get_debug_jasco_model():

@@ -66,36 +66,145 @@ def load_lm_model_magnet(name: str, compression_model_frame_rate: int = 50):
     return model, params, cfg
 
 
-def load_diffusion_models(name: str):
-    """Load the multi-band diffusion bundle (`loaders.py:181-204`): one UNet
-    per band + processors. Supports our orbax/npz exports; torch-weight
-    conversion of the MBD UNets is not implemented yet."""
+def load_diffusion_models(name: str, filename: tp.Optional[str] = None):
+    """Load the multi-band diffusion bundle (`loaders.py:181-204`): one
+    (DiffusionUnet, params) + NoiseSchedule(processor) per band.
+
+    The torch bundle layout is ``{'sample_rate', 'n_bands',
+    i: {'cfg', 'model_state', 'processor_state'}}``. Returns
+    ``(models, schedules, processor_states, cfgs, sample_rate)`` where
+    ``models[i] = (DiffusionUnet, params)``."""
+    import numpy as np
+    from ..models.unet import DiffusionUnet
+    from ..modules.diffusion_schedule import (MultiBandProcessor,
+                                              NoiseSchedule, SampleProcessor)
+    from ..utils import torch_port
     path = _resolve(name)
-    if path.suffix == ".npz" or (path / "mbd.npz").exists():
-        from ..utils.export import load_exported
-        raise NotImplementedError(
-            "npz MBD bundles: restore per-band params with "
-            "utils.checkpoint.restore_pytree and build via "
-            "models.multibanddiffusion.MultiBandDiffusion")
-    raise NotImplementedError(
-        f"torch MBD checkpoint conversion is not implemented; re-export "
-        f"{name} with utils.export or train with solver=diffusion")
+    if path.is_dir():
+        cands = list(path.glob(filename or "*.th")) + list(path.glob("*.pt"))
+        assert cands, f"no MBD checkpoint found in {path}"
+        path = cands[0]
+    import torch
+    torch_port._ensure_omegaconf_importable()
+    pkg = torch.load(path, map_location="cpu", weights_only=False)
+    sample_rate = pkg["sample_rate"]
+    models, schedules, proc_states, cfgs = [], [], [], []
+    for i in range(pkg["n_bands"]):
+        cfg = torch_port._plain_container(pkg[i]["cfg"])
+        unet_cfg = dict(cfg.get("diffusion_unet", {}))
+        schedule_cfg = dict(cfg.get("schedule", {}))
+        processor_cfg = dict(cfg.get("processor", {}))
+        num_steps = schedule_cfg.get("num_steps", 1000)
+        channels = cfg.get("channels", 1)
+        allowed = set(DiffusionUnet.__dataclass_fields__)
+        model = DiffusionUnet(
+            chin=channels, num_steps=num_steps,
+            **{k: v for k, v in unet_cfg.items() if k in allowed})
+        state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                 for k, v in pkg[i]["model_state"].items()}
+        params = torch_port.convert_diffusion_unet(
+            state, depth=model.depth, emb_all_layers=model.emb_all_layers,
+            bilstm=model.bilstm, use_transformer=model.use_transformer,
+            cross_attention=model.cross_attention,
+            res_blocks=model.res_blocks, codec_dim=model.codec_dim)
+        use_proc = processor_cfg.pop("use", False)
+        processor_cfg.pop("name", None)
+        if use_proc:
+            processor = MultiBandProcessor(sample_rate=sample_rate,
+                                           **processor_cfg)
+            proc_state = torch_port.convert_mbp_state(
+                {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+                 for k, v in pkg[i]["processor_state"].items()})
+        else:
+            processor = SampleProcessor()
+            proc_state = None
+        sched_allowed = {"beta_t0", "beta_t1", "num_steps", "variance",
+                         "clip", "rescale", "beta_exp", "repartition",
+                         "alpha_sigmoid", "n_bands", "noise_scale"}
+        schedule = NoiseSchedule(
+            sample_processor=processor,
+            **{k: v for k, v in schedule_cfg.items() if k in sched_allowed})
+        models.append((model, params))
+        schedules.append(schedule)
+        proc_states.append(proc_state)
+        cfgs.append(cfg)
+    return models, schedules, proc_states, cfgs, sample_rate
 
 
-def load_audioseal_models(name: str):
-    """Load AudioSeal generator+detector (`loaders.py:206-237`). Checkpoints
-    trained with solver=watermarking restore through utils.checkpoint; the
-    external `audioseal` package's torch weights are not converted yet."""
+def load_audioseal_models(name: str, filename: str = "base"):
+    """Load AudioSeal generator+detector (`loaders.py:206-268`): the torch
+    layout is ``generator_<filename>.pth`` / ``detector_<filename>.pth``
+    each holding ``{'model': state_dict}``, plus an optional
+    ``<filename>.yaml`` config. Returns an `AudioSeal` wrapper + params."""
+    import json
+    import numpy as np
+    from .watermark import AudioSeal, AudioSealDetector, AudioSealWM
+    from ..utils import torch_port
     path = _resolve(name)
-    raise NotImplementedError(
-        f"audioseal torch checkpoint conversion is not implemented; restore "
-        f"{name} from a watermarking-solver checkpoint via "
-        f"utils.checkpoint.restore_pytree")
+    assert path.is_dir(), f"expected an audioseal snapshot dir, got {path}"
+    import torch
+
+    def _state(fname):
+        ckpt = torch.load(path / fname, map_location="cpu",
+                          weights_only=True)
+        assert "model" in ckpt, f"no model state dict in {path / fname}"
+        return {k: v.numpy() for k, v in ckpt["model"].items()}
+
+    gen_state = _state(f"generator_{filename}.pth")
+    det_state = _state(f"detector_{filename}.pth")
+    # config: audioseal ships yaml; accept json too (zero-dep parse)
+    cfg: dict = {}
+    jpath = path / f"{filename}.json"
+    if jpath.exists():
+        cfg = json.loads(jpath.read_text())
+    seanet = cfg.get("seanet", {})
+    nbits = cfg.get("nbits", 16)
+    ratios = tuple(seanet.get("ratios", (8, 5, 4, 2)))
+    dim = seanet.get("dimension", 128)
+    n_filters = seanet.get("n_filters", 32)
+    nres = seanet.get("n_residual_layers", 1)
+    lstm = seanet.get("lstm", 2)
+    output_dim = cfg.get("detector", {}).get("output_dim", 32)
+    generator = AudioSealWM(nbits=nbits, dimension=dim, n_filters=n_filters,
+                            n_residual_layers=nres, lstm=lstm, ratios=ratios)
+    detector = AudioSealDetector(nbits=nbits, dimension=dim,
+                                 output_dim=output_dim, n_filters=n_filters,
+                                 n_residual_layers=nres, lstm=lstm,
+                                 ratios=ratios)
+    params = {
+        "generator": torch_port.convert_audioseal_generator(
+            gen_state, ratios=ratios, n_residual_layers=nres, lstm=lstm),
+        "detector": torch_port.convert_audioseal_detector(
+            det_state, ratios=ratios, n_residual_layers=nres, lstm=lstm),
+    }
+    model = AudioSeal(generator, detector, nbits=nbits)
+    return model, params
 
 
 def load_jasco_model(name: str, chords_mapping_path=None):
-    """Load a JASCO flow-matching model (`loaders.py:158-179`)."""
+    """Load a JASCO flow-matching model: (model, params, cfg)
+    (`loaders.py:158-179`)."""
+    from . import builders
+    from ..utils import torch_port
     path = _resolve(name)
-    raise NotImplementedError(
-        f"JASCO torch checkpoint conversion is not implemented; restore "
-        f"{name} from a jasco-solver checkpoint via utils.checkpoint")
+    if path.is_dir():
+        cands = list(path.glob("state_dict.bin")) + list(path.glob("*.th"))
+        assert cands, f"no checkpoint found in {path}"
+        path = cands[0]
+    state, cfg = torch_port._load_torch_state(path)
+    model = builders.get_jasco_model(cfg)
+    specs = {}
+    for cname, ccfg in dict(cfg.get("conditioners", {})).items():
+        if cname == "args" or not isinstance(ccfg, dict):
+            continue
+        mtype = ccfg.get("model")
+        specs[cname] = {"chords_emb": "chords_emb", "melody": "melody",
+                        "drum_latents": "drums", "t5": "t5",
+                        "lut": "lut"}.get(mtype, mtype)
+    params = torch_port.convert_flow_matching_state(
+        state, num_layers=model.num_layers, norm_first=model.norm_first,
+        bias_proj=model.bias_proj, skip_connections=model.skip_connections,
+        conditioner_specs=specs)
+    if chords_mapping_path is not None:
+        cfg["chords_mapping_path"] = str(chords_mapping_path)
+    return model, params, cfg

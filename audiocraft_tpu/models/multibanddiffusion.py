@@ -56,19 +56,37 @@ class MultiBandDiffusion:
         return r
 
     @staticmethod
+    def from_checkpoint(name: str, codec_name: str,
+                        filename: tp.Optional[str] = None
+                        ) -> "MultiBandDiffusion":
+        """Build from converted torch checkpoints (`loaders.py:181-204` +
+        `multibanddiffusion.py:48-118`): one DiffusionProcess per band plus
+        the matching compression model, both resolved from local snapshots
+        (zero-egress environment — see models/loaders.py)."""
+        from . import loaders
+        models, schedules, proc_states, cfgs, _ = loaders.load_diffusion_models(
+            name, filename=filename)
+        codec, codec_vars = loaders.load_compression_model(codec_name)
+        DPs = [DiffusionProcess(model, params, schedule, proc_state)
+               for (model, params), schedule, proc_state
+               in zip(models, schedules, proc_states)]
+        return MultiBandDiffusion(DPs, codec, codec_vars)
+
+    @staticmethod
     def get_mbd_musicgen(**kwargs) -> "MultiBandDiffusion":
         """Pretrained MBD for MusicGen tokens (`multibanddiffusion.py:63-77`).
-        Requires local checkpoints (zero-egress environment)."""
-        from . import loaders
-        raise NotImplementedError(
-            "Requires a local facebook/multiband-diffusion checkpoint; "
-            "use MultiBandDiffusion(DPs, codec, vars) with converted weights.")
+        Local snapshots required (zero-egress environment)."""
+        return MultiBandDiffusion.from_checkpoint(
+            "facebook/multiband-diffusion", "facebook/musicgen-small",
+            filename="mbd_musicgen_32khz.th")
 
     @staticmethod
     def get_mbd_24khz(bw: float = 3.0, **kwargs) -> "MultiBandDiffusion":
-        """`multibanddiffusion.py:79-110`; same local-checkpoint gating."""
-        raise NotImplementedError(
-            "Requires a local facebook/multiband-diffusion checkpoint.")
+        """`multibanddiffusion.py:79-110`; local snapshots required."""
+        assert bw in (1.5, 3.0, 6.0), f"bandwidth {bw} not available"
+        return MultiBandDiffusion.from_checkpoint(
+            "facebook/multiband-diffusion", "facebook/encodec_24khz",
+            filename=f"mbd_comp_{int(bw * 2)}.pt")
 
     def get_condition(self, wav: jax.Array, sample_rate: int) -> jax.Array:
         """Waveform -> codec latent condition [B, T, D]

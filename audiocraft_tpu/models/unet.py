@@ -35,10 +35,10 @@ class ResBlock(nn.Module):
                            kernel_dilation=(self.dilation,),
                            padding=((pad, pad),), dtype=self.dtype, name=name)(h)
 
-        h = nn.GroupNorm(self.norm_groups, dtype=self.dtype, name="norm1")(x)
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = conv(jax.nn.relu(h), "conv1")
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.GroupNorm(self.norm_groups, dtype=self.dtype, name="norm2")(h)
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = conv(jax.nn.relu(h), "conv2")
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + h
@@ -63,7 +63,7 @@ class EncoderLayer(nn.Module):
         x = nn.Conv(self.chout, (self.kernel,), strides=(self.stride,),
                     padding=((padding, padding),), use_bias=False,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.GroupNorm(self.norm_groups, dtype=self.dtype)(x)
+        x = nn.GroupNorm(self.norm_groups, epsilon=1e-5, dtype=self.dtype)(x)
         x = jax.nn.relu(x)
         for idx in range(self.res_blocks):
             x = ResBlock(self.chout, norm_groups=self.norm_groups,
@@ -89,7 +89,7 @@ class DecoderLayer(nn.Module):
             x = ResBlock(self.chin, norm_groups=self.norm_groups,
                          dilation=2 ** idx, dropout=self.dropout,
                          dtype=self.dtype, name=f"res_{idx}")(x, deterministic)
-        x = nn.GroupNorm(self.norm_groups, dtype=self.dtype)(x)
+        x = nn.GroupNorm(self.norm_groups, epsilon=1e-5, dtype=self.dtype)(x)
         x = jax.nn.relu(x)
         padding = (self.kernel - self.stride) // 2
         x = nn.ConvTranspose(self.chout, (self.kernel,),
@@ -188,6 +188,11 @@ class DiffusionUnet(nn.Module):
                 Tz = z.shape[1]
                 idxs = (jnp.arange(Tz) * condition_emb.shape[1] // Tz)
                 z = z + jnp.take(condition_emb, idxs, axis=1)
+                # the reference's `z += condition_emb` (unet.py:194) is an
+                # in-place add that also mutates the tensor held in `skips`,
+                # so the condition flows through the deepest skip even when
+                # the bottleneck output is zeroed/rebound below
+                skips[-1] = z
             else:
                 Tc = condition_emb.shape[1]
                 positions = jnp.arange(Tc).reshape(1, -1, 1)

@@ -42,12 +42,13 @@ class AudioSealWM(nn.Module):
     channels: int = 1
     n_filters: int = 32
     n_residual_layers: int = 1
+    lstm: int = 2
     ratios: tp.Tuple[int, ...] = (8, 5, 4, 2)
 
     def setup(self):
         common = dict(channels=self.channels, dimension=self.dimension,
                       n_filters=self.n_filters,
-                      n_residual_layers=self.n_residual_layers,
+                      n_residual_layers=self.n_residual_layers, lstm=self.lstm,
                       ratios=self.ratios, norm="weight_norm", causal=False,
                       pad_mode="constant")
         self.encoder = SEANetEncoder(**common)
@@ -72,33 +73,40 @@ class AudioSealWM(nn.Module):
 
 
 class AudioSealDetector(nn.Module):
-    """Detector: SEANet encoder -> upsample to sample resolution ->
-    [B, 2+nbits, T] logits (softmaxed on the 2 detection units)."""
+    """Detector: SEANet encoder -> reverse transposed conv back to sample
+    resolution -> 1x1 conv head -> [B, 2+nbits, T] (softmaxed detection
+    units). Mirrors the audioseal package's SEANetEncoderKeepDimension +
+    Conv1d head so its torch checkpoints convert 1:1."""
     nbits: int = 16
     dimension: int = 128
+    output_dim: int = 32
     channels: int = 1
     n_filters: int = 32
     n_residual_layers: int = 1
+    lstm: int = 2
     ratios: tp.Tuple[int, ...] = (8, 5, 4, 2)
 
     def setup(self):
         self.encoder = SEANetEncoder(
             channels=self.channels, dimension=self.dimension,
-            n_filters=self.n_filters,
+            n_filters=self.n_filters, lstm=self.lstm,
             n_residual_layers=self.n_residual_layers, ratios=self.ratios,
             norm="weight_norm", causal=False, pad_mode="constant")
-        self.head = nn.Dense(2 + self.nbits)
+        hop = 1
+        for r in self.ratios:
+            hop *= r
+        self.reverse_convolution = nn.ConvTranspose(
+            self.output_dim, (hop,), strides=(hop,), padding="VALID",
+            name="reverse_convolution")
+        self.head = nn.Conv(2 + self.nbits, (1,), name="head")
 
     def __call__(self, x: jax.Array) -> jax.Array:
         """x [B, C, T] -> [B, 2+nbits, T] (detection probs + msg logits)."""
         B, C, T = x.shape
-        latent = self.encoder(jnp.swapaxes(x, 1, 2))  # [B, Tf, D]
-        logits = self.head(latent)                    # [B, Tf, 2+nbits]
-        # nearest-upsample frames back to samples
-        idx = jnp.minimum((jnp.arange(T) * latent.shape[1]) // T,
-                          latent.shape[1] - 1)
-        logits = jnp.take(logits, idx, axis=1)        # [B, T, 2+nbits]
-        logits = jnp.swapaxes(logits, 1, 2)           # [B, 2+nbits, T]
+        latent = self.encoder(jnp.swapaxes(x, 1, 2))   # [B, Tf, D]
+        up = self.reverse_convolution(latent)[:, :T]   # [B, T, output_dim]
+        logits = self.head(up)                         # [B, T, 2+nbits]
+        logits = jnp.swapaxes(logits, 1, 2)            # [B, 2+nbits, T]
         det = jax.nn.softmax(logits[:, :2], axis=1)
         return jnp.concatenate([det, logits[:, 2:]], axis=1)
 
@@ -153,7 +161,10 @@ class AudioSeal(WMModel):
         return x + alpha * wm
 
     @staticmethod
-    def get_pretrained(name: str = "base") -> "AudioSeal":
+    def get_pretrained(name: str = "base") -> tp.Tuple["AudioSeal", dict]:
+        """Load converted audioseal torch checkpoints from a local snapshot
+        (`watermark.py:104-111`; zero-egress: place generator_<name>.pth /
+        detector_<name>.pth under AUDIOCRAFT_CACHE_DIR/facebook/audioseal)."""
         from . import loaders
-        raise NotImplementedError(
-            "Requires a local facebook/audioseal checkpoint (zero-egress env)")
+        return loaders.load_audioseal_models("facebook/audioseal",
+                                             filename=name)

@@ -21,9 +21,69 @@ import logging
 import typing as tp
 from pathlib import Path
 
+import jax
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+def _ensure_omegaconf_importable() -> None:
+    """Install a minimal unpickle shim when omegaconf isn't installed.
+
+    Reference checkpoints embed OmegaConf DictConfig payloads; unpickling
+    them imports omegaconf classes. The shim fabricates classes that just
+    capture their pickled state; `_plain_container` unwraps them back to
+    plain dict/list/scalars."""
+    try:
+        import omegaconf  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    class _StateStub:
+        def __setstate__(self, state):
+            if isinstance(state, dict):
+                self.__dict__.update(state)
+            else:
+                self.__dict__["_state"] = state
+
+        def __init__(self, *a, **k):
+            pass
+
+    def _make_module(name):
+        mod = types.ModuleType(name)
+        mod.__path__ = []  # package-like for submodule imports
+
+        def __getattr__(attr, _n=name):
+            cls = type(attr, (_StateStub,), {"__module__": _n})
+            setattr(mod, attr, cls)
+            return cls
+
+        mod.__getattr__ = __getattr__
+        sys.modules[name] = mod
+        return mod
+
+    root = _make_module("omegaconf")
+    for sub in ("dictconfig", "listconfig", "base", "nodes", "errors",
+                "omegaconf"):
+        setattr(root, sub, _make_module(f"omegaconf.{sub}"))
+
+
+def _plain_container(obj):
+    """Unwrap (possibly shim-unpickled) OmegaConf containers to plain data."""
+    content = getattr(obj, "_content", None)
+    if content is not None:
+        return _plain_container(content)
+    val = getattr(obj, "_val", None)
+    if val is not None or (hasattr(obj, "__dict__") and "_val" in obj.__dict__):
+        return _plain_container(obj.__dict__.get("_val"))
+    if isinstance(obj, dict):
+        return {k: _plain_container(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain_container(v) for v in obj]
+    return obj
 
 
 def _load_torch_state(path: Path) -> tp.Tuple[dict, dict]:
@@ -39,6 +99,7 @@ def _load_torch_state(path: Path) -> tp.Tuple[dict, dict]:
         logging.getLogger(__name__).warning(
             "weights_only load failed for %s; falling back to full pickle "
             "(trusted-checkpoint path)", path)
+        _ensure_omegaconf_importable()
         pkg = torch.load(path, map_location="cpu", weights_only=False)
     if "best_state" in pkg:
         state = pkg["best_state"]
@@ -51,12 +112,10 @@ def _load_torch_state(path: Path) -> tp.Tuple[dict, dict]:
         cfg = {}
     state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
              for k, v in state.items()}
-    if hasattr(cfg, "keys") and not isinstance(cfg, dict):
-        try:  # OmegaConf
-            from omegaconf import OmegaConf  # type: ignore
-            cfg = OmegaConf.to_container(cfg)
-        except Exception:
-            cfg = dict(cfg)
+    if not isinstance(cfg, dict):
+        cfg = _plain_container(cfg)
+        if not isinstance(cfg, dict):
+            cfg = dict(cfg) if hasattr(cfg, "keys") else {}
     return state, cfg
 
 
@@ -357,6 +416,12 @@ def _dense(src: dict, prefix: str) -> dict:
 
 
 def _convert_mha(src: dict, prefix: str) -> dict:
+    # the reference's custom-MHA path stores in_proj_* directly; the
+    # torch-nn.MultiheadAttention path nests them under `.mha.`
+    # (`ref modules/transformer.py:203-230`) — same packing either way
+    if prefix + "in_proj_weight" not in src \
+            and prefix + "mha.in_proj_weight" in src:
+        prefix = prefix + "mha."
     out = {
         "in_proj_weight": src[prefix + "in_proj_weight"].T,
         "out_proj": _dense(src, prefix + "out_proj."),
@@ -463,3 +528,218 @@ def load_lm_model_from_dir(path: Path):
         cross_attention=model.cross_attention, bias_proj=model.bias_proj,
         norm_first=model.norm_first)
     return model, params, cfg
+
+
+# ------------------------------------------------- MBD / AudioSeal / JASCO
+
+def _plain_resblock(src: dict, rp: str) -> dict:
+    """GroupNorm+Conv diffusion ResBlock (`ref models/unet.py:33-56`)."""
+    return {
+        "norm1": {"scale": src[rp + "norm1.weight"],
+                  "bias": src[rp + "norm1.bias"]},
+        "conv1": {"kernel": src[rp + "conv1.weight"].transpose(2, 1, 0),
+                  "bias": src[rp + "conv1.bias"]},
+        "norm2": {"scale": src[rp + "norm2.weight"],
+                  "bias": src[rp + "norm2.bias"]},
+        "conv2": {"kernel": src[rp + "conv2.weight"].transpose(2, 1, 0),
+                  "bias": src[rp + "conv2.bias"]},
+    }
+
+
+def _convert_blstm(src: dict, rp: str, layers: int) -> dict:
+    """torch bidirectional nn.LSTM + linear -> our BLSTM params
+    (`ref models/unet.py:110-122`)."""
+    out: dict = {}
+    for i in range(layers):
+        out[f"fwd_{i}"] = {
+            "w_ih": src[f"{rp}lstm.weight_ih_l{i}"].T,
+            "w_hh": src[f"{rp}lstm.weight_hh_l{i}"].T,
+            "b_ih": src[f"{rp}lstm.bias_ih_l{i}"],
+            "b_hh": src[f"{rp}lstm.bias_hh_l{i}"],
+        }
+        out[f"bwd_{i}"] = {
+            "w_ih": src[f"{rp}lstm.weight_ih_l{i}_reverse"].T,
+            "w_hh": src[f"{rp}lstm.weight_hh_l{i}_reverse"].T,
+            "b_ih": src[f"{rp}lstm.bias_ih_l{i}_reverse"],
+            "b_hh": src[f"{rp}lstm.bias_hh_l{i}_reverse"],
+        }
+    out["linear"] = _dense(src, rp + "linear.")
+    return out
+
+
+def _convert_transformer_layers(src: dict, ref_prefix: str, num_layers: int,
+                                cross_attention: bool,
+                                skip_projections: bool = False) -> dict:
+    """Shared StreamingTransformer layer-stack conversion
+    (`ref modules/transformer.py:454-575`)."""
+    tr: dict = {}
+    for i in range(num_layers):
+        rp = f"{ref_prefix}layers.{i}."
+        layer: dict = {
+            "self_attn": _convert_mha(src, rp + "self_attn."),
+            "norm1": {"scale": src[rp + "norm1.weight"],
+                      "bias": src[rp + "norm1.bias"]},
+            "norm2": {"scale": src[rp + "norm2.weight"],
+                      "bias": src[rp + "norm2.bias"]},
+            "linear1": _dense(src, rp + "linear1."),
+            "linear2": _dense(src, rp + "linear2."),
+        }
+        if cross_attention and (
+                f"{rp}cross_attention.in_proj_weight" in src
+                or f"{rp}cross_attention.mha.in_proj_weight" in src):
+            layer["cross_attn"] = _convert_mha(src, rp + "cross_attention.")
+            layer["norm_cross"] = {"scale": src[rp + "norm_cross.weight"],
+                                   "bias": src[rp + "norm_cross.bias"]}
+        tr[f"layers_{i}"] = layer
+    if skip_projections:
+        for i in range(num_layers // 2):
+            tr[f"skip_proj_{i}"] = _dense(
+                src, f"{ref_prefix}skip_projections.{i}.")
+    return tr
+
+
+def convert_diffusion_unet(src: dict, *, depth: int = 4,
+                           emb_all_layers: bool = True, bilstm: bool = True,
+                           use_transformer: bool = False,
+                           cross_attention: bool = False,
+                           num_transformer_layers: int = 6,
+                           res_blocks: int = 1,
+                           lstm_layers: int = 2,
+                           codec_dim: tp.Optional[int] = None) -> dict:
+    """MBD DiffusionUnet torch state dict -> our params
+    (`ref models/unet.py:123-214`).
+
+    Reference `decoders` is built with insert(0, ...) so decoders[k] is the
+    deepest-first; our dec_{idx} applies idx=depth-1 first, hence
+    decoders.{k} <-> dec_{depth-1-k}.
+    """
+    p: dict = {"embedding": {"embedding": src["embedding.weight"]}}
+    for d in range(depth):
+        enc: dict = {
+            "conv": {"kernel": src[f"encoders.{d}.conv.weight"]
+                     .transpose(2, 1, 0)},
+            "GroupNorm_0": {"scale": src[f"encoders.{d}.norm.weight"],
+                            "bias": src[f"encoders.{d}.norm.bias"]},
+        }
+        for j in range(res_blocks):
+            enc[f"res_{j}"] = _plain_resblock(
+                src, f"encoders.{d}.res_blocks.{j}.")
+        p[f"enc_{d}"] = enc
+        if d > 0 and emb_all_layers:
+            p[f"embedding_{d}"] = {
+                "embedding": src[f"embeddings.{d - 1}.weight"]}
+        ref_k = depth - 1 - d
+        dp_ = f"decoders.{ref_k}."
+        # flax nn.ConvTranspose correlates (no kernel flip); torch
+        # ConvTranspose1d convolves, so flip K when targeting flax
+        dec: dict = {
+            "convtr": {"kernel": src[dp_ + "convtr.weight"]
+                       .transpose(2, 0, 1)[::-1].copy()},
+            "GroupNorm_0": {"scale": src[dp_ + "norm.weight"],
+                            "bias": src[dp_ + "norm.bias"]},
+        }
+        for j in range(res_blocks):
+            dec[f"res_{j}"] = _plain_resblock(src, f"{dp_}res_blocks.{j}.")
+        p[f"dec_{d}"] = dec
+    if bilstm:
+        p["bilstm"] = _convert_blstm(src, "bilstm.", lstm_layers)
+    if use_transformer:
+        p["transformer"] = _convert_transformer_layers(
+            src, "transformer.", num_transformer_layers, cross_attention)
+    if codec_dim is not None and "conv_codec.weight" in src:
+        p["conv_codec"] = {"kernel": src["conv_codec.weight"]
+                           .transpose(2, 1, 0),
+                           "bias": src["conv_codec.bias"]}
+    return {"params": jax.tree.map(lambda x: np.asarray(x, np.float32), p)}
+
+
+def convert_mbp_state(src: dict):
+    """MultiBandProcessor buffers -> MBPState
+    (`ref modules/diffusion_schedule.py:60-75`)."""
+    from ..modules.diffusion_schedule import MBPState
+    import jax.numpy as jnp
+    return MBPState(
+        counts=jnp.asarray(np.asarray(src["counts"], np.float32).reshape(())),
+        sum_x=jnp.asarray(np.asarray(src["sum_x"], np.float32)),
+        sum_x2=jnp.asarray(np.asarray(src["sum_x2"], np.float32)),
+        sum_target_x2=jnp.asarray(np.asarray(src["sum_target_x2"],
+                                             np.float32)))
+
+
+def convert_audioseal_generator(src: dict, *, ratios=(8, 5, 4, 2),
+                                n_residual_layers: int = 1,
+                                lstm: int = 2) -> dict:
+    """audioseal AudioSealWM state dict (`encoder.*`/`decoder.*`/
+    `msg_processor.msg_embeddings.weight`) -> our AudioSealWM params."""
+    p = {
+        "encoder": convert_seanet(src, "encoder.", ratios, n_residual_layers,
+                                  lstm, encoder=True),
+        "decoder": convert_seanet(src, "decoder.", ratios, n_residual_layers,
+                                  lstm, encoder=False),
+    }
+    if "msg_processor.msg_embeddings.weight" in src:
+        p["msg_processor"] = {"msg_emb": {
+            "embedding": src["msg_processor.msg_embeddings.weight"]}}
+    return {"params": jax.tree.map(lambda x: np.asarray(x, np.float32), p)}
+
+
+def convert_audioseal_detector(src: dict, *, ratios=(8, 5, 4, 2),
+                               n_residual_layers: int = 1,
+                               lstm: int = 2) -> dict:
+    """audioseal AudioSealDetector state dict -> our params. The torch layout
+    is Sequential(SEANetEncoderKeepDimension, Conv1d): `detector.0.model.*`,
+    `detector.0.reverse_convolution.*`, `detector.1.*`."""
+    p = {
+        "encoder": convert_seanet(src, "detector.0.", ratios,
+                                  n_residual_layers, lstm, encoder=True),
+        "reverse_convolution": {
+            # flip K: flax nn.ConvTranspose correlates, torch convolves
+            "kernel": src["detector.0.reverse_convolution.weight"]
+            .transpose(2, 0, 1)[::-1].copy(),
+            "bias": src["detector.0.reverse_convolution.bias"]},
+        "head": {"kernel": src["detector.1.weight"].transpose(2, 1, 0),
+                 "bias": src["detector.1.bias"]},
+    }
+    return {"params": jax.tree.map(lambda x: np.asarray(x, np.float32), p)}
+
+
+def convert_flow_matching_state(src: dict, *, num_layers: int,
+                                norm_first: bool = True,
+                                bias_proj: bool = False,
+                                skip_connections: bool = True,
+                                conditioner_specs: tp.Optional[dict] = None
+                                ) -> dict:
+    """JASCO FlowMatchingModel state dict -> our params
+    (`ref models/flow_matching.py:121-242`).
+
+    conditioner_specs: {name: kind} with kind in {'lut', 'chords_emb',
+    'melody', 'drums', 't5'} mapping
+    `condition_provider.conditioners.<name>.*` keys."""
+    p: dict = {
+        "emb": {"kernel": src["emb.weight"].T},
+        "linear": _dense(src, "linear."),
+        "temb_dense_0": _dense(src, "temb.dense.0."),
+        "temb_dense_1": _dense(src, "temb.dense.1."),
+        "temb_proj": _dense(src, "temb_proj."),
+        "transformer": _convert_transformer_layers(
+            src, "transformer.", num_layers, cross_attention=True,
+            skip_projections=skip_connections),
+    }
+    if norm_first and "out_norm.weight" in src:
+        p["out_norm"] = {"scale": src["out_norm.weight"],
+                         "bias": src["out_norm.bias"]}
+    for name, kind in (conditioner_specs or {}).items():
+        cp = f"condition_provider.conditioners.{name}."
+        key = f"conditioners_{name}"
+        if kind == "lut":
+            p[key] = {"embed": {"embedding": src[cp + "embed.weight"]},
+                      "output_proj": _dense(src, cp + "output_proj.")}
+        elif kind == "chords_emb":
+            p[key] = {"emb": {"embedding": src[cp + "emb.weight"]}}
+        elif kind in ("melody", "drums"):
+            p[key] = {"output_proj": _dense(src, cp + "output_proj.")}
+        elif kind == "t5":
+            p[key] = {"output_proj": _dense(src, cp + "output_proj.")}
+        else:
+            raise ValueError(f"unknown conditioner kind {kind}")
+    return {"params": jax.tree.map(lambda x: np.asarray(x, np.float32), p)}
