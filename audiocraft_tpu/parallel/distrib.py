@@ -45,11 +45,16 @@ def is_distributed() -> bool:
     return world_size() > 1
 
 
-def barrier():
-    """Cross-host barrier: a tiny global collective."""
+def barrier(name: str = "barrier"):
+    """Cross-host barrier (`ref utils/checkpoint.py:137-161` relies on it
+    around the sharded-save `.tmp.done` protocol).
+
+    `multihost_utils.sync_global_devices` runs a psum over one device per
+    process — every process must reach the same named point before any
+    proceeds. A process-local jitted op would NOT synchronize anything."""
     if is_distributed():
-        x = jax.numpy.zeros(())
-        jax.block_until_ready(jax.jit(lambda v: v + 1)(x))
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
 
 
 def average_metrics(metrics: tp.Dict[str, tp.Any], count: float = 1.0):

@@ -108,7 +108,11 @@ def restore_pytree(path: Path, template):
 
 def save_checkpoint(state, path: tp.Union[Path, str], is_sharded: bool = False):
     """Save with the two-phase `.tmp.done` protocol for sharded saves
-    (`checkpoint.py:125-161`)."""
+    (`checkpoint.py:125-161`): rank 0 removes the stale token, ALL ranks
+    synchronize, every rank writes its shard, ALL ranks synchronize again,
+    and only then does rank 0 publish the fresh token. A reader that sees
+    the token is thus guaranteed a complete, consistent shard set."""
+    from ..parallel import distrib
     path = Path(path)
     if is_sharded:
         path_rank0 = path.parent / checkpoint_name(
@@ -117,10 +121,13 @@ def save_checkpoint(state, path: tp.Union[Path, str], is_sharded: bool = False):
         tmp_done = path_rank0.parent / f"{path_rank0.name}.tmp.done"
         if jax.process_index() == 0 and tmp_done.exists():
             tmp_done.unlink()
+        distrib.barrier("ckpt-token-removed")
     save_pytree(path, state)
-    if is_sharded and jax.process_index() == 0:
-        tmp_done = path.parent / f"{path.name}.tmp.done"
-        tmp_done.touch()
+    if is_sharded:
+        distrib.barrier("ckpt-shards-written")
+        if jax.process_index() == 0:
+            tmp_done = path.parent / f"{path.name}.tmp.done"
+            tmp_done.touch()
 
 
 def flush_stale_checkpoints(checkpoint_path: Path, keep_last: int = 0):
