@@ -55,6 +55,8 @@ class StandardSolver(ABC):
         self._log_updates = cfg.get("logging", {}).get("log_updates", 10)
         self.train_updates_per_epoch = cfg.get("optim", {}).get(
             "updates_per_epoch", 0) or 0
+        from ..utils.writers import ExperimentWriters
+        self.writers = ExperimentWriters(cfg, self.folder)
         self.build_dataloaders()
         self.build_model()
 
@@ -265,6 +267,8 @@ class StandardSolver(ABC):
             metrics["evaluate"] = self.evaluate()
         if self.should_run_stage("generate"):
             metrics["generate"] = self.generate()
+        for stage, stage_metrics in metrics.items():
+            self.writers.write_scalars(stage, stage_metrics, self.epoch)
         self.history.append(jsonable(metrics))
         return metrics
 
@@ -302,6 +306,13 @@ class SolverRunMixin:
         folder = Path(self.cfg.get("folder", "/tmp/audiocraft_tpu/xp"))
         folder.mkdir(parents=True, exist_ok=True)
         return folder
+
+    @property
+    def writers(self):
+        if not hasattr(self, "_writers"):
+            from ..utils.writers import ExperimentWriters
+            self._writers = ExperimentWriters(self.cfg, self._folder)
+        return self._writers
 
     def _aux_tools(self):
         """Profiler + deadlock watchdog from cfg (`base.py:517-557`)."""
@@ -412,6 +423,8 @@ class SolverRunMixin:
                 metrics["evaluate"] = self.evaluate()
             if self.should_run_stage("generate"):
                 metrics["generate"] = self.generate()
+            for stage, stage_metrics in metrics.items():
+                self.writers.write_scalars(stage, stage_metrics, self.epoch)
             history.append(metrics)
             self.save_checkpoints()
             self.epoch += 1

@@ -427,6 +427,11 @@ class MusicGenSolver(SolverRunMixin):
                 gen = np.asarray(mg.generate(descs, progress=False))
                 manager.add_samples(gen, self.epoch, conditioning=conds,
                                     ground_truth_wavs=np.asarray(wav))
+                # media logging (`ref solvers/base.py:51-54` tensorboard/wandb)
+                for gi, g in enumerate(gen[:4]):
+                    self.writers.write_audio(
+                        f"generate/sample_{n_done + gi}", g, sample_rate,
+                        self.epoch)
             if gen_cfg.get("prompted_samples", False):
                 prompt_duration = float(gen_cfg.get("prompt_duration")
                                         or mg.duration / 4)
