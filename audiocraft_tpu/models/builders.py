@@ -175,6 +175,11 @@ def get_lm_model(cfg) -> LMModel:
         kwargs = dict_from_config(_get(cfg, "transformer_lm", {}))
         n_q = kwargs["n_q"]
         q_modeling = kwargs.pop("q_modeling", None)
+        # lr/weight_decay are optimizer-group overrides consumed by the
+        # solver (`ref transformer.py:715-721`), not model fields
+        kwargs.pop("lr", None)
+        kwargs.pop("weight_decay", None)
+        kwargs.pop("emb_lr", None)
         codebooks_pattern_cfg = _get(cfg, "codebooks_pattern")
         cls_free_guidance = dict_from_config(_get(cfg, "classifier_free_guidance", {}))
         cfg_coef = cls_free_guidance.get("inference_coef", 1.0)

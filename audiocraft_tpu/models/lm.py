@@ -17,6 +17,7 @@ TPU-first design:
 """
 import dataclasses
 import logging
+import collections
 import math
 import typing as tp
 from functools import partial
@@ -232,9 +233,11 @@ class LMModel(nn.Module):
 class GenParams:
     """Sampling/CFG hyperparameters (`lm.py:423-433`).
 
-    Note: `two_step_cfg` is accepted for API parity but runs through the same
-    batched-CFG program — under static masking the two formulations produce
-    identical paddings, so there is no separate two-pass path.
+    `two_step_cfg` (or `model.two_step_cfg`) runs the conditional and null
+    forwards as two separately-padded streams with their own KV caches
+    (`lm.py:343-354`) — this differs from batched CFG exactly when
+    cross-attention sees zero-padded positions (see
+    tests/models/test_two_step_cfg.py).
     """
     use_sampling: bool = True
     temp: float = 1.0
@@ -266,11 +269,21 @@ def tokenize_conditions(model: LMModel,
 def prepare_cfg_conditions(model: LMModel, params,
                            conditions: tp.List[ConditioningAttributes],
                            cfg_coef_beta: tp.Optional[float] = None,
-                           ) -> ConditionTensors:
+                           two_step: bool = False):
     """Fused CFG condition tensors (`lm.py:483-513`): cond + null stacked in
-    the batch dim (cond + wav-only + null for double CFG)."""
+    the batch dim (cond + wav-only + null for double CFG). With `two_step`
+    (`lm.py:343-354`), the conditional and null sets are tokenized
+    *separately* — each padded to its own length, which changes the result
+    whenever cross-attention sees zero-padded (unmasked) positions — and a
+    tuple (cond_tensors, null_tensors) is returned."""
     if not conditions:
         return {}
+    if two_step and cfg_coef_beta is None:
+        null_conditions = ClassifierFreeGuidanceDropout(p=1.0)(conditions)
+        tok_c = tokenize_conditions(model, conditions)
+        tok_n = tokenize_conditions(model, null_conditions)
+        return (jit_compute_conditions(model, params, tok_c),
+                jit_compute_conditions(model, params, tok_n))
     if cfg_coef_beta is not None:
         wav_conditions = drop_description_condition(conditions)
         null_conditions = ClassifierFreeGuidanceDropout(p=1.0)(conditions)
@@ -295,8 +308,22 @@ def _combine_cfg_logits(all_logits: jax.Array, B: int, cfg_coef: float,
     return uncond_logits + (cond_logits - uncond_logits) * cfg_coef
 
 
-_GEN_JIT_CACHE: tp.Dict[tp.Any, tp.Any] = {}
-_COND_JIT_CACHE: tp.Dict[int, tp.Any] = {}
+# Compiled-program caches keyed by (id(model), shape bucket, ...). Each entry
+# also holds a strong reference to the model, so a live entry pins its id
+# (no stale hits after GC-reuse), and the caches are LRU-bounded so shape
+# buckets can't grow them without bound.
+_GEN_JIT_CACHE: "collections.OrderedDict[tp.Any, tp.Any]" = \
+    collections.OrderedDict()
+_COND_JIT_CACHE: "collections.OrderedDict[int, tp.Any]" = \
+    collections.OrderedDict()
+_JIT_CACHE_MAX_ENTRIES = 16
+
+
+def _cache_put(cache, key, value):
+    cache[key] = value
+    cache.move_to_end(key)
+    while len(cache) > _JIT_CACHE_MAX_ENTRIES:
+        cache.popitem(last=False)
 
 # KV buffers grow through these fractions of the final length during decode
 # (zero-padded up between scan segments); (1.0,) disables bucketing.
@@ -316,11 +343,13 @@ def jit_compute_conditions(model: LMModel, params, tokenized):
         return v
 
     tokenized = {k: sanitize(v) for k, v in tokenized.items()}
-    fn = _COND_JIT_CACHE.get(id(model))
-    if fn is None:
+    entry = _COND_JIT_CACHE.get(id(model))
+    if entry is None or entry[0] is not model:
         fn = jax.jit(lambda p, t: model.apply(p, t,
                                               method=LMModel.compute_conditions))
-        _COND_JIT_CACHE[id(model)] = fn
+        _cache_put(_COND_JIT_CACHE, id(model), (model, fn))
+    else:
+        fn = entry[1]
     return fn(params, tokenized)
 
 
@@ -330,8 +359,10 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
     """Build (and cache) the jitted prefill+scan program for one shape bucket."""
     key = (id(model), S, start, cfg_mult, B, gen, str(cache_dtype),
            cond_struct, _CACHE_GROWTH_FRACS)
-    if key in _GEN_JIT_CACHE:
-        return _GEN_JIT_CACHE[key]
+    entry = _GEN_JIT_CACHE.get(key)
+    if entry is not None and entry[0] is model:
+        _GEN_JIT_CACHE.move_to_end(key)
+        return entry[1]
 
     unknown_token = -1
     special = model.special_token_id
@@ -342,47 +373,83 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
 
     def run(params, rng, gen_sequence, condition_tensors):
         seq_mask = jnp.asarray(seq_mask_np)  # [K, S]
+        # two-step CFG (`lm.py:343-354`): conditional/null tensors arrive as
+        # a tuple of separately-padded streams, each with its own KV caches
+        # and its own forward per step; batched CFG is one stream of
+        # cfg_mult*B. Logits are concatenated before the CFG combine either
+        # way, so _combine_cfg_logits is shared.
+        if isinstance(condition_tensors, tuple):
+            streams = list(condition_tensors)
+            stream_batch = B
+        else:
+            streams = [condition_tensors]
+            stream_batch = cfg_mult * B
         prepend_len = 0
-        if model.fuser.has_prepend and condition_tensors:
-            prepend_len = sum(condition_tensors[name][0].shape[1]
+        if model.fuser.has_prepend and streams[0]:
+            prepend_len = sum(streams[0][name][0].shape[1]
                               for name in model.fuser.fuse2cond.get("prepend", [])
-                              if name in condition_tensors)
+                              if name in streams[0])
         # Bucketed cache sizes: decode attention is HBM-bound on reading the
         # static KV buffers every step, so early steps run against smaller
         # buffers that are zero-padded up as decoding progresses (~25-35%
         # less cache traffic than one full-size buffer for the whole scan).
+        # (two-step CFG streams may have different prepend lengths, so they
+        # use one full-size cache each instead of shared growth buckets.)
         S_total = S + prepend_len
         min_first = prepend_len + start + 2  # prefill + first scan write
         bounds: tp.List[int] = []
-        for frac in _CACHE_GROWTH_FRACS:
-            cap = min(S_total, max(min_first, -(-int(S_total * frac) // 64) * 64))
-            if not bounds or cap > bounds[-1]:
-                bounds.append(cap)
-        bounds[-1] = S_total
-        caches = init_lm_cache(model, cfg_mult * B, bounds[0], cache_dtype)
+        if len(streams) == 1:
+            for frac in _CACHE_GROWTH_FRACS:
+                cap = min(S_total, max(min_first,
+                                       -(-int(S_total * frac) // 64) * 64))
+                if not bounds or cap > bounds[-1]:
+                    bounds.append(cap)
+            bounds[-1] = S_total
+        else:
+            bounds = [S_total]
 
-        if model.cross_attention and condition_tensors:
-            cross_src = None
-            for name in model.fuser.fuse2cond.get("cross", []):
-                if name in condition_tensors:
-                    c = condition_tensors[name][0]
-                    cross_src = c if cross_src is None else jnp.concatenate(
-                        [cross_src, c], axis=1)
-            if cross_src is not None:
-                caches = model.apply(params, cross_src.astype(cache_dtype),
-                                     caches, method=LMModel.precompute_cross_kv)
+        def stream_prepend(ct):
+            if not (model.fuser.has_prepend and ct):
+                return 0
+            return sum(ct[name][0].shape[1]
+                       for name in model.fuser.fuse2cond.get("prepend", [])
+                       if name in ct)
 
-        def fwd(seq_chunk, caches, first_step):
-            seq_in = (jnp.concatenate([seq_chunk] * cfg_mult, axis=0)
-                      if cfg_mult > 1 else seq_chunk)
-            all_logits, caches = model.apply(
-                params, seq_in, condition_tensors, caches=caches,
-                first_step=first_step)
+        caches_list = []
+        for ct in streams:
+            cap0 = bounds[0] if len(streams) == 1 else S + stream_prepend(ct)
+            caches = init_lm_cache(model, stream_batch, cap0, cache_dtype)
+            if model.cross_attention and ct:
+                cross_src = None
+                for name in model.fuser.fuse2cond.get("cross", []):
+                    if name in ct:
+                        c = ct[name][0]
+                        cross_src = c if cross_src is None else \
+                            jnp.concatenate([cross_src, c], axis=1)
+                if cross_src is not None:
+                    caches = model.apply(params, cross_src.astype(cache_dtype),
+                                         caches,
+                                         method=LMModel.precompute_cross_kv)
+            caches_list.append(caches)
+
+        def fwd(seq_chunk, caches_list, first_step):
+            outs = []
+            new_list = []
+            for ct, caches in zip(streams, caches_list):
+                seq_in = (jnp.concatenate([seq_chunk] * cfg_mult, axis=0)
+                          if cfg_mult > 1 and len(streams) == 1 else seq_chunk)
+                out, caches = model.apply(
+                    params, seq_in, ct, caches=caches,
+                    first_step=first_step)
+                outs.append(out)
+                new_list.append(caches)
+            all_logits = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
             if cfg_mult > 1:
-                logits = _combine_cfg_logits(all_logits, B, cfg_coef, cfg_coef_beta)
+                logits = _combine_cfg_logits(all_logits, B, cfg_coef,
+                                             cfg_coef_beta)
             else:
                 logits = all_logits
-            return logits, caches
+            return logits, new_list
 
         def sample_step(rng, logits_last, offset):
             next_token = sample_tokens(
@@ -393,7 +460,7 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
 
         # ---- prefill: feed steps [0, start), sample step `start`
         rng, r0 = jax.random.split(rng)
-        logits, caches = fwd(gen_sequence[..., :start], caches, True)
+        logits, caches_list = fwd(gen_sequence[..., :start], caches_list, True)
         next_token = sample_step(r0, logits[:, :, -1], start)
         cur = gen_sequence[..., start]
         gen_sequence = gen_sequence.at[..., start].set(
@@ -401,17 +468,17 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
 
         # ---- scan decode over offsets [start+1, S)
         def step(carry, offset):
-            gen_sequence, caches, rng = carry
+            gen_sequence, caches_list, rng = carry
             rng, r = jax.random.split(rng)
             tok = jax.lax.dynamic_slice_in_dim(gen_sequence, offset - 1, 1, axis=2)
-            logits, caches = fwd(tok, caches, False)
+            logits, caches_list = fwd(tok, caches_list, False)
             next_token = sample_step(r, logits[:, :, -1], offset)
             cur = jax.lax.dynamic_slice_in_dim(gen_sequence, offset, 1,
                                                axis=2)[..., 0]
             write = jnp.where(cur == unknown_token, next_token, cur)
             gen_sequence = jax.lax.dynamic_update_slice_in_dim(
                 gen_sequence, write[..., None], offset, axis=2)
-            return (gen_sequence, caches, rng), None
+            return (gen_sequence, caches_list, rng), None
 
         def grow(caches, new_len):
             from ..modules.transformer import KVCache
@@ -432,22 +499,22 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
             hi = min(S, cap - prepend_len)
             if hi > lo:
                 offsets = jnp.arange(lo, hi)
-                (gen_sequence, caches, rng), _ = jax.lax.scan(
-                    step, (gen_sequence, caches, rng), offsets)
+                (gen_sequence, caches_list, rng), _ = jax.lax.scan(
+                    step, (gen_sequence, caches_list, rng), offsets)
                 lo = hi
             if i + 1 < len(bounds) and lo < S:
-                caches = grow(caches, bounds[i + 1])
+                caches_list = [grow(c, bounds[i + 1]) for c in caches_list]
         if S > lo:
             offsets = jnp.arange(lo, S)
-            (gen_sequence, caches, rng), _ = jax.lax.scan(
-                step, (gen_sequence, caches, rng), offsets)
+            (gen_sequence, caches_list, rng), _ = jax.lax.scan(
+                step, (gen_sequence, caches_list, rng), offsets)
 
         # masked positions must hold the special token (`lm.py:559-575`)
         gen_sequence = jnp.where(seq_mask[None], gen_sequence, special)
         return gen_sequence
 
     fn = jax.jit(run)
-    _GEN_JIT_CACHE[key] = fn
+    _cache_put(_GEN_JIT_CACHE, key, (model, fn))
     return fn
 
 
@@ -478,9 +545,12 @@ def generate(model: LMModel, params, rng: jax.Array,
     num_samples = possible_num_samples[0]
 
     cfg_coef = model.cfg_coef if gen.cfg_coef is None else gen.cfg_coef
+    two_step = (model.two_step_cfg if gen.two_step_cfg is None
+                else gen.two_step_cfg)
     if condition_tensors is None:
         condition_tensors = prepare_cfg_conditions(
-            model, params, conditions, cfg_coef_beta=gen.cfg_coef_beta)
+            model, params, conditions, cfg_coef_beta=gen.cfg_coef_beta,
+            two_step=bool(two_step))
 
     K = model.num_codebooks
     if prompt is None:
@@ -506,8 +576,13 @@ def generate(model: LMModel, params, rng: jax.Array,
     if condition_tensors:
         cfg_mult = 3 if gen.cfg_coef_beta is not None else 2
     cache_dtype = cache_dtype or model.dtype
-    cond_struct = tuple(sorted(
-        (k, tuple(v[0].shape)) for k, v in condition_tensors.items()))
+    if isinstance(condition_tensors, tuple):
+        cond_struct = tuple(
+            tuple(sorted((k, tuple(v[0].shape)) for k, v in ct.items()))
+            for ct in condition_tensors)
+    else:
+        cond_struct = tuple(sorted(
+            (k, tuple(v[0].shape)) for k, v in condition_tensors.items()))
 
     fn = _get_decode_fn(model, pattern, S, start, cfg_mult, B, gen,
                         float(cfg_coef), cache_dtype, cond_struct)

@@ -48,38 +48,80 @@ def get_solver(cfg: dict):
     return klass(cfg)
 
 
-def get_optim_parameter_groups(*args, **kwargs):
-    """Per-module optim groups are handled through optax masks; kept for API
-    parity (`builders.py:68-93`)."""
-    raise NotImplementedError("use optax.masked transforms for param groups")
+def get_optim_parameter_groups(params, group_overrides: tp.Dict[str, dict]
+                               ) -> tp.Tuple[tp.Any, tp.Dict[str, dict]]:
+    """Per-module lr/weight_decay groups, optax-style (`ref builders.py:68-93`
+    + `ref transformer.py:715-721` make_optim_group).
+
+    `group_overrides` maps a top-level param-subtree name (e.g.
+    "transformer", "condition_provider") to {"lr": ..., "weight_decay": ...}.
+    Returns (label pytree for optax.multi_transform, {label: overrides})
+    with "default" for everything unlabeled."""
+    import jax
+    groups = {"default": {}}
+    groups.update({k: dict(v) for k, v in group_overrides.items() if v})
+
+    def label_tree(subtree, label):
+        return jax.tree.map(lambda _: label, subtree)
+
+    tree = params.get("params", params) if isinstance(params, dict) else params
+    labels_inner = {}
+    for key, sub in tree.items():
+        label = key if key in groups else "default"
+        labels_inner[key] = label_tree(sub, label)
+    labels = dict(params) if isinstance(params, dict) else params
+    if isinstance(params, dict) and "params" in params:
+        labels = {k: (labels_inner if k == "params"
+                      else jax.tree.map(lambda _: "default", v))
+                  for k, v in params.items()}
+    else:
+        labels = labels_inner
+    return labels, groups
 
 
-def get_optimizer(cfg: dict, total_updates: int = 1
+def get_optimizer(cfg: dict, total_updates: int = 1,
+                  param_groups: tp.Optional[tp.Tuple[tp.Any, tp.Dict[str, dict]]] = None
                   ) -> optax.GradientTransformation:
-    """Optimizer + LR schedule factory (`builders.py:95-139`)."""
+    """Optimizer + LR schedule factory (`builders.py:95-139`).
+
+    With `param_groups` = (labels, {label: {"lr", "weight_decay"}}) from
+    `get_optim_parameter_groups`, each group gets its own optimizer instance
+    (lr/weight_decay overridden, schedule shape shared) via
+    optax.multi_transform — the reference's per-module optim groups."""
     name = cfg.get("optimizer", "adamw")
-    lr = float(cfg.get("lr", 1e-4))
+    base_lr = float(cfg.get("lr", 1e-4))
     sched_name = cfg.get("lr_scheduler")
-    schedule = get_lr_scheduler(sched_name, lr, total_updates,
-                                cfg.get(sched_name or "", {}) if isinstance(
-                                    cfg.get(sched_name or ""), dict) else {})
+    sched_cfg = cfg.get(sched_name or "", {}) if isinstance(
+        cfg.get(sched_name or ""), dict) else {}
+    betas = tuple(cfg.get("adam", {}).get("betas", (0.9, 0.999)))
+    eps = cfg.get("adam", {}).get("eps", 1e-8)
+    base_wd = cfg.get("adam", {}).get("weight_decay", 0.0)
+
+    def make_opt(lr: float, weight_decay: float):
+        schedule = get_lr_scheduler(sched_name, lr, total_updates, sched_cfg)
+        if name == "adamw":
+            return optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                               weight_decay=weight_decay)
+        elif name == "adam":
+            return optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
+        elif name == "dadam":
+            return dadapt_adam(1.0, betas=betas, eps=eps,
+                               weight_decay=weight_decay)
+        raise ValueError(f"Unsupported Optimizer: {name}")
+
     chain = []
     max_norm = cfg.get("max_norm", 0.0)
     if max_norm:
         chain.append(optax.clip_by_global_norm(max_norm))
-    betas = tuple(cfg.get("adam", {}).get("betas", (0.9, 0.999)))
-    eps = cfg.get("adam", {}).get("eps", 1e-8)
-    weight_decay = cfg.get("adam", {}).get("weight_decay", 0.0)
-    if name == "adamw":
-        chain.append(optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
-                                 weight_decay=weight_decay))
-    elif name == "adam":
-        chain.append(optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps))
-    elif name == "dadam":
-        chain.append(dadapt_adam(1.0, betas=betas, eps=eps,
-                                 weight_decay=weight_decay))
+    if param_groups is None:
+        chain.append(make_opt(base_lr, base_wd))
     else:
-        raise ValueError(f"Unsupported Optimizer: {name}")
+        labels, groups = param_groups
+        transforms = {
+            label: make_opt(float(ov.get("lr", base_lr)),
+                            float(ov.get("weight_decay", base_wd)))
+            for label, ov in groups.items()}
+        chain.append(optax.multi_transform(transforms, labels))
     return optax.chain(*chain)
 
 

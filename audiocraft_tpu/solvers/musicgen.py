@@ -258,7 +258,19 @@ class MusicGenSolver(SolverRunMixin):
         total_updates = (optim_cfg.get("epochs", 1)
                          * optim_cfg.get("updates_per_epoch", 2000))
         from . import builders
-        self.optimizer = builders.get_optimizer(optim_cfg, total_updates)
+        # per-module optim groups (`ref transformer.py:715-721` lr/wd
+        # overrides flow through make_optim_group into the param groups)
+        lm_cfg = cfg.get("transformer_lm", {}) or {}
+        overrides = {k: v for k, v in
+                     {"lr": lm_cfg.get("lr"),
+                      "weight_decay": lm_cfg.get("weight_decay")}.items()
+                     if v is not None}
+        param_groups = None
+        if overrides:
+            param_groups = builders.get_optim_parameter_groups(
+                params, {"transformer": overrides})
+        self.optimizer = builders.get_optimizer(optim_cfg, total_updates,
+                                                param_groups=param_groups)
         self.state = init_train_state(self.model, params, self.optimizer)
         self._step = make_train_step(self.model, self.optimizer)
         self._rng = jax.random.PRNGKey(cfg.get("seed", 2036))

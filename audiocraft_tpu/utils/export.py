@@ -46,9 +46,53 @@ def export_encodec(variables, cfg: dict, out_file: tp.Union[Path, str]) -> Path:
     return _export(variables, cfg, out_file)
 
 
+def encodec_model_cfg(model) -> dict:
+    """Reconstruct the builder cfg from a live EncodecModel so a re-export
+    is loadable standalone (inverse of `models/builders.py` assembly)."""
+    enc = model.encoder
+    q = model.quantizer
+    return {
+        "compression_model": "encodec",
+        "encodec": {
+            "autoencoder": "seanet",
+            "quantizer": "rvq",
+            "sample_rate": model.sample_rate,
+            "channels": model.channels,
+            "causal": model.causal,
+            "renormalize": model.renormalize,
+            "seanet": {
+                "dimension": enc.dimension,
+                "channels": enc.channels,
+                "n_filters": enc.n_filters,
+                "n_residual_layers": enc.n_residual_layers,
+                "ratios": list(enc.ratios),
+                "norm": enc.norm,
+                "kernel_size": enc.kernel_size,
+                "residual_kernel_size": enc.residual_kernel_size,
+                "last_kernel_size": enc.last_kernel_size,
+                "dilation_base": enc.dilation_base,
+                "causal": enc.causal,
+                "pad_mode": enc.pad_mode,
+                "true_skip": enc.true_skip,
+                "compress": enc.compress,
+                "lstm": enc.lstm,
+            },
+            "rvq": {
+                "n_q": q.n_q,
+                "bins": q.bins,
+                "dimension": q.dimension,
+                "decay": q.decay,
+                "q_dropout": q.q_dropout,
+                "kmeans_init": False,  # exported codebooks are trained
+            },
+        },
+    }
+
+
 def export_pretrained_compression_model(pretrained_name: str,
-                                        out_file: tp.Union[Path, str]):
-    """Re-export an already-loadable pretrained codec (`export.py:79-96`)."""
+                                        out_file: tp.Union[Path, str]) -> Path:
+    """Re-export an already-loadable pretrained codec into our standalone
+    inference format (`export.py:79-96`)."""
     from ..models.encodec import CompressionModel
     model, variables = CompressionModel.get_pretrained(pretrained_name)
-    raise NotImplementedError("Serialize via export_encodec with the model cfg")
+    return _export(variables, encodec_model_cfg(model), out_file)
