@@ -66,12 +66,27 @@ class FrechetAudioDistanceMetric:
         self.tf_python = os.environ.get("TF_PYTHON_EXE")
         self.bin_path = bin_path
         self.model_path = model_path
-        self.embed_fn = embed_fn or logmel_embeddings
-        if self.tf_python is None and embed_fn is None:
-            logger.warning(
-                "TF_PYTHON_EXE not set and no embed_fn provided: FAD will use "
-                "the log-mel fallback embedding (relative comparisons only, "
-                "not comparable to published VGGish-FAD numbers).")
+        self.embed_kind = "custom"
+        if embed_fn is None:
+            # the real thing: our JAX VGGish with locally provided weights
+            # (model_path or $VGGISH_CHECKPOINT / cache dir)
+            from .vggish import (VGGishEmbedder, find_vggish_checkpoint,
+                                 load_vggish_params)
+            ckpt = Path(model_path) if model_path and Path(model_path).exists() \
+                else find_vggish_checkpoint()
+            if ckpt is not None:
+                embed_fn = VGGishEmbedder(load_vggish_params(ckpt))
+                self.embed_kind = "vggish"
+                logger.info("FAD using VGGish embeddings from %s", ckpt)
+            else:
+                embed_fn = logmel_embeddings
+                self.embed_kind = "logmel-fallback"
+                logger.warning(
+                    "No VGGish checkpoint found (set VGGISH_CHECKPOINT or "
+                    "drop vggish.pth in AUDIOCRAFT_CACHE_DIR): FAD will use "
+                    "the log-mel fallback embedding (relative comparisons "
+                    "only, not comparable to published VGGish-FAD numbers).")
+        self.embed_fn = embed_fn
         self._pred_embs: tp.List[np.ndarray] = []
         self._ref_embs: tp.List[np.ndarray] = []
 
