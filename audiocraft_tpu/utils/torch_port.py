@@ -743,3 +743,104 @@ def convert_flow_matching_state(src: dict, *, num_layers: int,
         else:
             raise ValueError(f"unknown conditioner kind {kind}")
     return {"params": jax.tree.map(lambda x: np.asarray(x, np.float32), p)}
+
+
+# --------------------------------------------------------------------- DAC
+
+def _wn_conv_params(src: dict, prefix: str, transpose: bool = False) -> dict:
+    """Weight-normed (ConvTranspose)1d at `prefix` -> our WNConv params."""
+    v = src[prefix + "weight_v"]
+    g = src[prefix + "weight_g"].reshape(-1)
+    out = {"kernel_g": g, "bias": src[prefix + "bias"]}
+    # torch conv [O, I, K] -> [K, I, O]; convtr [I, O, K] -> [K, I, O]
+    out["kernel_v"] = v.transpose(2, 0, 1) if transpose else v.transpose(2, 1, 0)
+    return out
+
+
+def _snake(src: dict, prefix: str) -> dict:
+    return {"alpha": src[prefix + "alpha"].reshape(-1)}
+
+
+def _dac_res_unit(src: dict, prefix: str) -> dict:
+    """dac ResidualUnit Sequential: [Snake, conv7, Snake, conv1]."""
+    return {"snake1": _snake(src, f"{prefix}block.0."),
+            "conv1": _wn_conv_params(src, f"{prefix}block.1."),
+            "snake2": _snake(src, f"{prefix}block.2."),
+            "conv2": _wn_conv_params(src, f"{prefix}block.3.")}
+
+
+def convert_dac_state(src: dict, *, n_enc_blocks: int = 4,
+                      n_dec_blocks: int = 4, n_codebooks: int = 9) -> dict:
+    """descript-audio-codec state dict -> our DACModel params
+    (dac/model/dac.py: encoder.block.*, decoder.model.*,
+    quantizer.quantizers.*)."""
+    enc: dict = {"conv_in": _wn_conv_params(src, "encoder.block.0.")}
+    for i in range(n_enc_blocks):
+        bp = f"encoder.block.{i + 1}."
+        blk: dict = {}
+        for j in range(3):
+            blk[f"res_{j}"] = _dac_res_unit(src, f"{bp}block.{j}.")
+        blk["snake"] = _snake(src, f"{bp}block.3.")
+        blk["conv"] = _wn_conv_params(src, f"{bp}block.4.")
+        enc[f"block_{i}"] = blk
+    enc["snake"] = _snake(src, f"encoder.block.{n_enc_blocks + 1}.")
+    enc["conv_out"] = _wn_conv_params(src, f"encoder.block.{n_enc_blocks + 2}.")
+
+    dec: dict = {"conv_in": _wn_conv_params(src, "decoder.model.0.")}
+    for i in range(n_dec_blocks):
+        bp = f"decoder.model.{i + 1}."
+        blk = {"snake": _snake(src, f"{bp}block.0."),
+               "convtr": _wn_conv_params(src, f"{bp}block.1.",
+                                         transpose=True)}
+        for j in range(3):
+            blk[f"res_{j}"] = _dac_res_unit(src, f"{bp}block.{j + 2}.")
+        dec[f"block_{i}"] = blk
+    dec["snake"] = _snake(src, f"decoder.model.{n_dec_blocks + 1}.")
+    dec["conv_out"] = _wn_conv_params(src, f"decoder.model.{n_dec_blocks + 2}.")
+
+    q: dict = {"codebooks": np.stack(
+        [src[f"quantizer.quantizers.{i}.codebook.weight"]
+         for i in range(n_codebooks)])}
+    for i in range(n_codebooks):
+        qp = f"quantizer.quantizers.{i}."
+        q[f"in_projs_{i}"] = _wn_conv_params(src, qp + "in_proj.")
+        q[f"out_projs_{i}"] = _wn_conv_params(src, qp + "out_proj.")
+
+    params = {"encoder": enc, "decoder": dec, "quantizer": q}
+    return {"params": jax.tree.map(lambda x: np.asarray(x, np.float32),
+                                   params)}
+
+
+def load_dac_from_path(path, n_quantizers=None):
+    """Local descript-audio-codec checkpoint -> (DAC wrapper, variables).
+    Accepts the dac package's weights.pth ({'state_dict', 'metadata'}) or a
+    raw state dict."""
+    import torch
+    from ..models.dac import DAC, DACModel
+    pkg = torch.load(Path(path), map_location="cpu", weights_only=True)
+    meta_kwargs: dict = {}
+    if isinstance(pkg, dict) and "state_dict" in pkg:
+        md = pkg.get("metadata", {}) or {}
+        kw = md.get("kwargs", md) if isinstance(md, dict) else {}
+        for ours, theirs in [("encoder_dim", "encoder_dim"),
+                             ("decoder_dim", "decoder_dim"),
+                             ("n_codebooks", "n_codebooks"),
+                             ("codebook_size", "codebook_size"),
+                             ("codebook_dim", "codebook_dim"),
+                             ("sample_rate", "sample_rate")]:
+            if theirs in kw:
+                meta_kwargs[ours] = kw[theirs]
+        for ours, theirs in [("encoder_rates", "encoder_rates"),
+                             ("decoder_rates", "decoder_rates")]:
+            if theirs in kw:
+                meta_kwargs[ours] = tuple(kw[theirs])
+        state = pkg["state_dict"]
+    else:
+        state = pkg
+    src = {k: v.numpy() for k, v in state.items()}
+    model = DACModel(**meta_kwargs)
+    variables = convert_dac_state(
+        src, n_enc_blocks=len(model.encoder_rates),
+        n_dec_blocks=len(model.decoder_rates),
+        n_codebooks=model.n_codebooks)
+    return DAC(model, n_quantizers), variables
