@@ -204,3 +204,47 @@ def audio_write(stem_name: tp.Union[str, Path], wav, sample_rate: int,
             path.unlink()
         raise
     return path
+
+
+def get_spec(y: np.ndarray, sr: int = 16000, n_fft: int = 4096,
+             hop_length: int = 128, dur: float = 8) -> np.ndarray:
+    """Mel spectrogram in dB from raw audio (`audio.py:234-254`; the
+    reference uses librosa, here our own matmul-DFT mel)."""
+    import jax.numpy as jnp
+
+    from ..ops.stft import mel_spectrogram
+    y = np.asarray(y, np.float32).reshape(-1)[:int(dur * sr)]
+    mel = np.asarray(mel_spectrogram(jnp.asarray(y[None]), sr, n_fft=n_fft,
+                                     hop_length=hop_length, n_mels=128))[0]
+    power = np.maximum(mel, 1e-10)
+    db = 10.0 * np.log10(power)
+    return np.maximum(db - db.max(), -80.0)  # librosa power_to_db(ref=max)
+
+
+def save_spectrograms(ys: tp.List[np.ndarray], sr: int, path: str,
+                      names: tp.List[str], n_fft: int = 4096,
+                      hop_length: int = 128, dur: float = 8.0) -> None:
+    """Stacked spectrogram plot for a list of waveforms
+    (`audio.py:257-320`; watermark-solver sample dumps)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if not names:
+        names = ["Ground Truth", "Audio Watermarked", "Watermark"]
+    assert len(names) == len(ys), \
+        f"There are {len(ys)} wavs but {len(names)} names ({names})"
+    fig, axes = plt.subplots(len(ys), 1, figsize=(8, 3 * len(ys)),
+                             squeeze=False)
+    for ax, y, name in zip(axes[:, 0], ys, names):
+        spec = get_spec(np.asarray(y), sr=sr, n_fft=n_fft,
+                        hop_length=hop_length, dur=dur)
+        ax.imshow(spec, origin="lower", aspect="auto", cmap="magma",
+                  vmin=-80.0, vmax=0.0)
+        ax.set_title(name, fontsize=10)
+        ax.set_ylabel("mel bin")
+    axes[-1, 0].set_xlabel("frame")
+    fig.tight_layout()
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)

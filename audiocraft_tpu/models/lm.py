@@ -427,7 +427,11 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
                         cross_src = c if cross_src is None else \
                             jnp.concatenate([cross_src, c], axis=1)
                 if cross_src is not None:
-                    caches = model.apply(params, cross_src.astype(cache_dtype),
+                    # cross K/V stay bf16 under int8 self-attn caches (tiny,
+                    # and float->int8 astype would truncate garbage)
+                    cross_dt = (jnp.bfloat16 if cache_dtype == jnp.int8
+                                else cache_dtype)
+                    caches = model.apply(params, cross_src.astype(cross_dt),
                                          caches,
                                          method=LMModel.precompute_cross_kv)
             caches_list.append(caches)
@@ -483,15 +487,20 @@ def _get_decode_fn(model: LMModel, pattern, S: int, start: int, cfg_mult: int,
         def grow(caches, new_len):
             from ..modules.transformer import KVCache
             def g(layer):
-                pad = new_len - layer.self_attn.k.shape[1]
+                sa = layer.self_attn
+                pad = new_len - sa.k.shape[1]
                 if pad <= 0:
                     return layer
                 pads = ((0, 0), (0, pad), (0, 0), (0, 0))
-                return LayerCache(
-                    self_attn=KVCache(k=jnp.pad(layer.self_attn.k, pads),
-                                      v=jnp.pad(layer.self_attn.v, pads),
-                                      index=layer.self_attn.index),
-                    cross_k=layer.cross_k, cross_v=layer.cross_v)
+                padded = KVCache(
+                    k=jnp.pad(sa.k, pads), v=jnp.pad(sa.v, pads),
+                    index=sa.index,
+                    k_scale=None if sa.k_scale is None
+                    else jnp.pad(sa.k_scale, pads),
+                    v_scale=None if sa.v_scale is None
+                    else jnp.pad(sa.v_scale, pads))
+                return LayerCache(self_attn=padded,
+                                  cross_k=layer.cross_k, cross_v=layer.cross_v)
             return [g(layer) for layer in caches]
 
         lo = start + 1
