@@ -2,15 +2,19 @@
 
 Prints ONE JSON line:
   {"metric": "musicgen-small audio-sec/sec/chip", "value": N,
-   "unit": "audio_sec_per_sec", "vs_baseline": N}
+   "unit": "audio_sec_per_sec", "vs_baseline": N, "extra": {...}}
 
-Measures the full flagship inference path on real hardware: T5-less text
-conditioning (embeddings precomputed — conditioner cost is amortized across
-the whole clip), delay-pattern AR decode with CFG (batch-doubled) through the
-scan-compiled LM, and EnCodec SEANet decode to waveform, at the reference
-model shape (dim 1024 / 24 layers / 16 heads, n_q=4, card=2048, 50 Hz
-frame rate, 32 kHz audio; `config/model/lm/model_scale/small.yaml`,
-`model_cards/MUSICGEN_MODEL_CARD.md`).
+Measures the full flagship inference path on real hardware: text
+conditioning tensors precomputed (the T5 encoder is <1% of a 10s decode),
+delay-pattern AR decode with CFG (batch-doubled) through the scan-compiled
+LM with an int8-quantized KV cache, and EnCodec SEANet decode to waveform,
+at the reference model shape (dim 1024 / 24 layers / 16 heads, n_q=4,
+card=2048, 50 Hz frame rate, 32 kHz audio;
+`config/model/lm/model_scale/small.yaml`, `model_cards/MUSICGEN_MODEL_CARD.md`).
+
+`extra` carries the secondary benchmarks (BASELINE.json configs): EnCodec
+encode/decode realtime factors, MAGNeT non-AR decode throughput, and the
+estimated HBM bandwidth utilization of the decode scan.
 
 Baseline: BASELINE.json north-star of 20x realtime per v5e chip.
 """
@@ -25,28 +29,39 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+DURATION = 10.0       # seconds of audio per generate call
+FRAME_RATE = 50       # musicgen 32kHz codec frame rate
+SR = 32000
+# Throughput-optimal serving batch: audio-sec/sec/chip is the metric and
+# batched decoding amortizes weight streaming. The int8 KV cache (per-step
+# per-head scales) halves cache traffic and fits B=128 CFG-doubled caches
+# in v5e HBM (bf16 B=64: ~137 LM-only; int8 B=128: ~224, B=256: ~267
+# LM-only; B=384 would overflow the 16GB HBM).
+B = 256
+CACHE_DTYPE = jnp.int8
+V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec)
 
-def main():
-    from audiocraft_tpu.models.presets import musicgen_lm
+
+def _timeit(fn, n_iters=3):
+    fn()  # compile
+    t0 = time.time()
+    for _ in range(n_iters):
+        fn()
+    return (time.time() - t0) / n_iters
+
+
+def bench_musicgen():
     from audiocraft_tpu.models import lm as lm_mod
     from audiocraft_tpu.models.lm import GenParams, init_lm_params
+    from audiocraft_tpu.models.presets import musicgen_lm
     from audiocraft_tpu.modules.seanet import SEANetDecoder
     from audiocraft_tpu.quantization import ResidualVectorQuantizer
 
-    DURATION = 10.0       # seconds of audio per generate call
-    FRAME_RATE = 50       # musicgen 32kHz codec frame rate
-    SR = 32000
-    # Throughput-optimal serving batch: audio-sec/sec/chip is the metric, and
-    # batched decoding amortizes the weight streaming (B=1: ~12x, B=16: ~40x,
-    # B=64: ~115x LM-only; B=128 overflows v5e HBM on the CFG-doubled caches).
-    B = 64
-
-    # flagship LM, bf16 activations
     model = musicgen_lm("small", n_q=4, card=2048, dtype=jnp.bfloat16)
     params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    # EnCodec 32kHz decoder shape (`config/model/encodec/musicgen_32khz.yaml`):
+    # EnCodec 32kHz decoder (`configs/model/encodec/encodec_large_nq4_s320`):
     # dim 128, n_filters 64, ratios [8,5,4,4] -> hop 640 = 32000/50
     decoder = SEANetDecoder(channels=1, dimension=128, n_filters=64,
                             n_residual_layers=1, ratios=(8, 5, 4, 4),
@@ -55,55 +70,133 @@ def main():
                                   kmeans_init=False)
     qstate = rvq.init(jax.random.PRNGKey(1))
     n_frames = int(DURATION * FRAME_RATE)
-    # codec decode runs in sub-batches: SEANet upsamples 500 frames -> 320k
-    # samples, and a full B=64 activation footprint would not fit next to the
-    # LM KV caches
+    # codec decode in sub-batches: SEANet upsamples 500 frames -> 320k
+    # samples; a full-batch activation footprint won't fit next to the caches
     DEC_B = 32
     dec_params = decoder.init(jax.random.PRNGKey(2),
                               jnp.zeros((DEC_B, n_frames, 128), jnp.bfloat16))
-
-    # two separate programs: the fused gather+conv graph compiles
-    # pathologically slowly as one unit
     rvq_decode = jax.jit(lambda qs, c: rvq.decode(qs, c, dtype=jnp.bfloat16))
     seanet_decode = jax.jit(decoder.apply)
 
-    def decode_audio(dec_params, qstate, codes):
+    def decode_audio(codes):
         wavs = [seanet_decode(dec_params, rvq_decode(qstate, chunk))
                 for chunk in jnp.split(codes, codes.shape[0] // DEC_B)]
         return jnp.concatenate(wavs)
 
-    # text conditioning tensors (precomputed once per prompt, like get_pretrained
-    # users do; the T5 encoder cost is <1% of a 10s decode)
     cond = (jax.random.normal(jax.random.PRNGKey(3), (2 * B, 12, 1024),
                               jnp.bfloat16),
             jnp.ones((2 * B, 12), jnp.int32))
     condition_tensors = {"description": cond}
-
-    max_gen_len = n_frames
     gen = GenParams(use_sampling=True, temp=1.0, top_k=250, cfg_coef=3.0)
 
-    def run(seed):
-        tokens = lm_mod.generate(model, params, jax.random.PRNGKey(seed),
-                                 conditions=[], condition_tensors=condition_tensors,
-                                 num_samples=B, max_gen_len=max_gen_len, gen=gen,
-                                 cache_dtype=jnp.bfloat16)
-        wav = decode_audio(dec_params, qstate, tokens)
-        return np.asarray(wav)  # host transfer forces completion (axon
-        # block_until_ready is unreliable)
+    seed = [0]
 
-    run(0)  # compile
-    n_iters = 3
-    t0 = time.time()
-    for i in range(n_iters):
-        run(i + 1)
-    dt = (time.time() - t0) / n_iters
+    def run():
+        seed[0] += 1
+        tokens = lm_mod.generate(
+            model, params, jax.random.PRNGKey(seed[0]), conditions=[],
+            condition_tensors=condition_tensors, num_samples=B,
+            max_gen_len=int(DURATION * FRAME_RATE), gen=gen,
+            cache_dtype=CACHE_DTYPE)
+        return np.asarray(decode_audio(tokens))  # host transfer = completion
 
-    audio_sec_per_sec = B * DURATION / dt
+    dt = _timeit(run)
+    audio_sec = B * DURATION / dt
+
+    # HBM-BW utilization estimate for the decode scan: per step every layer
+    # streams its weights once and reads the KV buffers once.
+    n_layers, dim, heads = 24, 1024, 16
+    param_bytes = sum(np.prod(x.shape) for x in jax.tree.leaves(params)) * 2
+    S = int(DURATION * FRAME_RATE) + 12  # + cross/prepend slack
+    kv_bytes_per_step = (2 * B) * S * n_layers * 2 * dim * (
+        1 if CACHE_DTYPE == jnp.int8 else 2)
+    steps = int(DURATION * FRAME_RATE)
+    total_bytes = steps * (param_bytes + kv_bytes_per_step)
+    bw_util = (total_bytes / dt) / (V5E_HBM_GBPS * 1e9)
+    return audio_sec, round(float(bw_util), 3)
+
+
+def bench_encodec_rtf():
+    """EnCodec 32kHz full encode and decode realtime factors."""
+    from audiocraft_tpu.models.encodec import EncodecModel
+    from audiocraft_tpu.modules.seanet import SEANetDecoder, SEANetEncoder
+    from audiocraft_tpu.quantization import ResidualVectorQuantizer
+
+    kw = dict(channels=1, dimension=128, n_filters=64, n_residual_layers=1,
+              ratios=(8, 5, 4, 4), lstm=2, norm="weight_norm",
+              dtype=jnp.bfloat16)
+    model = EncodecModel(SEANetEncoder(**kw), SEANetDecoder(**kw),
+                         ResidualVectorQuantizer(dimension=128, n_q=4,
+                                                 bins=2048,
+                                                 kmeans_init=False),
+                         frame_rate=FRAME_RATE, sample_rate=SR, channels=1)
+    variables = model.init(jax.random.PRNGKey(0))
+    EB = 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (EB, 1, SR * 10),
+                          jnp.float32) * 0.1
+    encode = jax.jit(lambda v, a: model.encode(v, a)[0])
+    decode = jax.jit(lambda v, c: model.decode(v, c))
+    codes = encode(variables, x)
+
+    enc_dt = _timeit(lambda: np.asarray(encode(variables, x)))
+    dec_dt = _timeit(lambda: np.asarray(decode(variables, codes)))
+    audio = EB * 10.0
+    return round(audio / enc_dt, 1), round(audio / dec_dt, 1)
+
+
+def bench_magnet():
+    """MAGNeT non-AR decode throughput (60 iterative steps, 10s clips)."""
+    from audiocraft_tpu.models import lm_magnet
+    from audiocraft_tpu.models.lm import init_lm_params
+    from audiocraft_tpu.models.lm_magnet import MagnetLMModel
+    from audiocraft_tpu.models.presets import musicgen_lm
+
+    base = musicgen_lm("small", n_q=4, card=2048, dtype=jnp.bfloat16)
+    model = MagnetLMModel(
+        pattern_provider=base.pattern_provider,
+        conditioners=base.conditioners, fuser=base.fuser,
+        n_q=4, card=2048, dim=1024, num_heads=16, num_layers=24,
+        causal=False, cross_attention=True, norm_first=True,
+        bias_proj=False, bias_ff=False, bias_attn=False,
+        subcodes_context=5, segment_duration=int(DURATION),
+        compression_model_framerate=FRAME_RATE, dtype=jnp.bfloat16)
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    MB = 16
+    cond = (jax.random.normal(jax.random.PRNGKey(3), (2 * MB, 12, 1024),
+                              jnp.bfloat16),
+            jnp.ones((2 * MB, 12), jnp.int32))
+    ct = {"description": cond}
+    seed = [100]
+
+    def run():
+        seed[0] += 1
+        return np.asarray(lm_magnet.generate_magnet(
+            model, params, jax.random.PRNGKey(seed[0]), conditions=[],
+            condition_tensors=ct, num_samples=MB,
+            max_gen_len=int(DURATION * FRAME_RATE)))
+
+    dt = _timeit(run)
+    return round(MB * DURATION / dt, 1)
+
+
+def main():
+    audio_sec, bw_util = bench_musicgen()
+    enc_rtf, dec_rtf = bench_encodec_rtf()
+    magnet = bench_magnet()
     print(json.dumps({
         "metric": "musicgen-small audio-sec/sec/chip",
-        "value": round(audio_sec_per_sec, 3),
+        "value": round(audio_sec, 3),
         "unit": "audio_sec_per_sec",
-        "vs_baseline": round(audio_sec_per_sec / 20.0, 3),
+        "vs_baseline": round(audio_sec / 20.0, 3),
+        "extra": {
+            "batch": B,
+            "kv_cache": "int8",
+            "decode_hbm_bw_utilization": bw_util,
+            "encodec_encode_rtf": enc_rtf,
+            "encodec_decode_rtf": dec_rtf,
+            "magnet_small_audio_sec_per_sec": magnet,
+        },
     }))
 
 
