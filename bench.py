@@ -182,21 +182,26 @@ def bench_magnet():
 
 def main():
     audio_sec, bw_util = bench_musicgen()
-    enc_rtf, dec_rtf = bench_encodec_rtf()
-    magnet = bench_magnet()
+    extra = {"batch": B, "kv_cache": "int8",
+             "decode_hbm_bw_utilization": bw_util}
+    # secondary benches are best-effort: never let a fresh-compile stall of
+    # a side metric take down the headline number
+    try:
+        enc_rtf, dec_rtf = bench_encodec_rtf()
+        extra["encodec_encode_rtf"] = enc_rtf
+        extra["encodec_decode_rtf"] = dec_rtf
+    except Exception as e:  # pragma: no cover
+        extra["encodec_error"] = str(e)[:120]
+    try:
+        extra["magnet_small_audio_sec_per_sec"] = bench_magnet()
+    except Exception as e:  # pragma: no cover
+        extra["magnet_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "musicgen-small audio-sec/sec/chip",
         "value": round(audio_sec, 3),
         "unit": "audio_sec_per_sec",
         "vs_baseline": round(audio_sec / 20.0, 3),
-        "extra": {
-            "batch": B,
-            "kv_cache": "int8",
-            "decode_hbm_bw_utilization": bw_util,
-            "encodec_encode_rtf": enc_rtf,
-            "encodec_decode_rtf": dec_rtf,
-            "magnet_small_audio_sec_per_sec": magnet,
-        },
+        "extra": extra,
     }))
 
 
