@@ -21,23 +21,27 @@ _LIB_PATHS = [
 
 
 def _maybe_build() -> None:
-    """Build the native library from source when missing or stale.
+    """Build the native libraries from source when missing or stale.
 
-    The .so is intentionally NOT committed (binaries can't be reviewed);
-    it is compiled on first use from native/audio_io.cc.
+    The .so files are intentionally NOT committed (binaries can't be
+    reviewed); each is compiled on first use from its .cc. Targets are
+    built independently so a missing libav toolchain only loses the
+    compressed-audio path, never the WAV fast path.
     """
-    src = _NATIVE_DIR / "audio_io.cc"
-    so = _LIB_PATHS[0]
-    if not src.exists():
-        return
-    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
-        return
     import subprocess
-    try:
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                       capture_output=True, timeout=120)
-    except Exception as e:  # missing toolchain: fall back to python path
-        logger.warning("native audio lib build failed: %s", e)
+    for src_name, so_name in [("audio_io.cc", "libaudiocraft_io.so"),
+                              ("av_io.cc", "libaudiocraft_av.so")]:
+        src = _NATIVE_DIR / src_name
+        so = _NATIVE_DIR / so_name
+        if not src.exists():
+            continue
+        if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+            continue
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), so_name],
+                           check=True, capture_output=True, timeout=120)
+        except Exception as e:  # missing toolchain: fall back to python path
+            logger.warning("native lib %s build failed: %s", so_name, e)
 
 
 _lib = None

@@ -69,7 +69,9 @@ def stft(x: jax.Array, n_fft: int, hop_length: int,
     else:
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     if normalized:
-        spec = spec / jnp.sqrt(jnp.sum(jnp.square(window)))
+        # torch.stft multiplies by frame_length**-0.5 (the FFT size after
+        # window padding), NOT by the window L2 norm
+        spec = spec / jnp.sqrt(jnp.asarray(n_fft, spec.real.dtype))
     return jnp.swapaxes(spec, -1, -2)              # [..., bins, F]
 
 

@@ -44,10 +44,26 @@ V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec)
 
 def _timeit(fn, n_iters=3):
     fn()  # compile
-    t0 = time.time()
+    times = []
     for _ in range(n_iters):
+        t0 = time.time()
         fn()
-    return (time.time() - t0) / n_iters
+        times.append(time.time() - t0)
+    return float(np.mean(times))
+
+
+def _timeit_var(fn, n_iters=3):
+    """(mean_sec, relative_spread_pct) — the axon tunnel adds ~±8% noise;
+    reporting it keeps round-over-round comparisons honest."""
+    fn()  # compile
+    times = []
+    for _ in range(n_iters):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    mean = float(np.mean(times))
+    spread = float((np.max(times) - np.min(times)) / mean * 100.0)
+    return mean, round(spread, 1)
 
 
 def bench_musicgen():
@@ -100,7 +116,7 @@ def bench_musicgen():
             cache_dtype=CACHE_DTYPE)
         return np.asarray(decode_audio(tokens))  # host transfer = completion
 
-    dt = _timeit(run)
+    dt, spread_pct = _timeit_var(run)
     audio_sec = B * DURATION / dt
 
     # HBM-BW utilization estimate for the decode scan: per step every layer
@@ -113,7 +129,7 @@ def bench_musicgen():
     steps = int(DURATION * FRAME_RATE)
     total_bytes = steps * (param_bytes + kv_bytes_per_step)
     bw_util = (total_bytes / dt) / (V5E_HBM_GBPS * 1e9)
-    return audio_sec, round(float(bw_util), 3)
+    return audio_sec, round(float(bw_util), 3), spread_pct
 
 
 def bench_encodec_rtf():
@@ -142,6 +158,154 @@ def bench_encodec_rtf():
     dec_dt = _timeit(lambda: np.asarray(decode(variables, codes)))
     audio = EB * 10.0
     return round(audio / enc_dt, 1), round(audio / dec_dt, 1)
+
+
+def bench_audiogen(scale="medium", AG_B=64, n_iters=3):
+    """audiogen-medium text-to-sound: 5s @16kHz AR generation with CFG
+    (BASELINE.json config #3). Medium LM shape (dim 1536 / 48 layers / 24
+    heads, `config/model/lm/model_scale/medium.yaml`) over the 16kHz EnCodec
+    (hop 320 -> 50Hz frames, `model_cards/AUDIOGEN_MODEL_CARD.md`)."""
+    from audiocraft_tpu.models import lm as lm_mod
+    from audiocraft_tpu.models.lm import GenParams, init_lm_params
+    from audiocraft_tpu.models.presets import MODEL_SCALES, musicgen_lm
+    from audiocraft_tpu.modules.seanet import SEANetDecoder
+    from audiocraft_tpu.quantization import ResidualVectorQuantizer
+
+    AG_DUR = 5.0
+    dim = MODEL_SCALES[scale]["dim"]
+    model = musicgen_lm(scale, n_q=4, card=2048, dtype=jnp.bfloat16)
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    decoder = SEANetDecoder(channels=1, dimension=128, n_filters=64,
+                            n_residual_layers=1, ratios=(8, 5, 4, 2),
+                            lstm=2, dtype=jnp.bfloat16)
+    rvq = ResidualVectorQuantizer(dimension=128, n_q=4, bins=2048,
+                                  kmeans_init=False)
+    qstate = rvq.init(jax.random.PRNGKey(1))
+    n_frames = int(AG_DUR * FRAME_RATE)
+    DEC_B = min(32, AG_B)
+    dec_params = decoder.init(jax.random.PRNGKey(2),
+                              jnp.zeros((DEC_B, n_frames, 128), jnp.bfloat16))
+    rvq_decode = jax.jit(lambda qs, c: rvq.decode(qs, c, dtype=jnp.bfloat16))
+    seanet_decode = jax.jit(decoder.apply)
+
+    cond = (jax.random.normal(jax.random.PRNGKey(3), (2 * AG_B, 12, dim),
+                              jnp.bfloat16),
+            jnp.ones((2 * AG_B, 12), jnp.int32))
+    ct = {"description": cond}
+    gen = GenParams(use_sampling=True, temp=1.0, top_k=250, cfg_coef=3.0)
+    seed = [200]
+
+    def run():
+        seed[0] += 1
+        tokens = lm_mod.generate(
+            model, params, jax.random.PRNGKey(seed[0]), conditions=[],
+            condition_tensors=ct, num_samples=AG_B, max_gen_len=n_frames,
+            gen=gen, cache_dtype=CACHE_DTYPE)
+        wavs = [seanet_decode(dec_params, rvq_decode(qstate, chunk))
+                for chunk in jnp.split(tokens, AG_B // DEC_B)]
+        return np.asarray(jnp.concatenate(wavs))
+
+    dt = _timeit(run, n_iters=n_iters)
+    return round(AG_B * AG_DUR / dt, 1)
+
+
+def bench_melody(scale="small", MEL_B=64, n_iters=3):
+    """musicgen-melody path: chromagram-conditioned continuation of the
+    reference's bolero_ravel.mp3 (BASELINE.json config #4), small LM scale.
+
+    The full path is timed: mp3 decode + resample (native libav), STFT
+    chromagram (`configs/conditioner/chroma2music.yaml`: radix2_exp 14,
+    n_chroma 12), chroma+text PREPEND conditioning (melody models use no
+    cross-attention), a 5s EnCodec prompt encode, prefill over the prompt,
+    and AR continuation to 10s with CFG + SEANet decode."""
+    from audiocraft_tpu.data.audio import audio_read
+    from audiocraft_tpu.data.audio_utils import convert_audio
+    from audiocraft_tpu.models import lm as lm_mod
+    from audiocraft_tpu.models.lm import GenParams, init_lm_params
+    from audiocraft_tpu.models.presets import MODEL_SCALES
+    from audiocraft_tpu.models.lm import LMModel
+    from audiocraft_tpu.modules.chroma import ChromaExtractor
+    from audiocraft_tpu.modules.conditioners import (ConditionFuser,
+                                                     LUTConditioner)
+    from audiocraft_tpu.modules.patterns import DelayedPatternProvider
+    from audiocraft_tpu.modules.seanet import SEANetDecoder, SEANetEncoder
+    from audiocraft_tpu.quantization import ResidualVectorQuantizer
+
+    PROMPT_SEC = 5.0
+    dim = MODEL_SCALES[scale]["dim"]
+    fuser = ConditionFuser({"cross": [], "prepend": ["self_wav",
+                                                     "description"],
+                            "sum": [], "input_interpolate": []})
+    conditioners = {"description": LUTConditioner(
+        n_bins=2048, dim=dim, output_dim=dim, tokenizer="whitespace",
+        dtype=jnp.bfloat16)}
+    model = LMModel(pattern_provider=DelayedPatternProvider(n_q=4),
+                    conditioners=conditioners, fuser=fuser, n_q=4, card=2048,
+                    cross_attention=False, causal=True, norm_first=True,
+                    bias_proj=False, bias_ff=False, bias_attn=False,
+                    cfg_coef=3.0, dtype=jnp.bfloat16, **MODEL_SCALES[scale])
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    kw = dict(channels=1, dimension=128, n_filters=64, n_residual_layers=1,
+              ratios=(8, 5, 4, 4), lstm=2, dtype=jnp.bfloat16)
+    encoder = SEANetEncoder(**kw)
+    decoder = SEANetDecoder(**kw)
+    rvq = ResidualVectorQuantizer(dimension=128, n_q=4, bins=2048,
+                                  kmeans_init=False)
+    qstate = rvq.init(jax.random.PRNGKey(1))
+    n_prompt = int(PROMPT_SEC * FRAME_RATE)
+    n_total = int(DURATION * FRAME_RATE)
+    enc_params = encoder.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, int(PROMPT_SEC * SR), 1),
+                                         jnp.bfloat16))
+    DEC_B = min(16, MEL_B)
+    dec_params = decoder.init(jax.random.PRNGKey(3),
+                              jnp.zeros((DEC_B, n_total, 128), jnp.bfloat16))
+    chroma = ChromaExtractor(sample_rate=SR, n_chroma=12, radix2_exp=14)
+    # chroma (12) -> model-dim prepend embedding, the conditioner's proj
+    chroma_proj = jax.random.normal(jax.random.PRNGKey(4), (12, dim),
+                                    jnp.bfloat16) * 0.1
+    text_cond = jax.random.normal(jax.random.PRNGKey(5), (2 * MEL_B, 12, dim),
+                                  jnp.bfloat16)
+    text_mask = jnp.ones((2 * MEL_B, 12), jnp.int32)
+
+    encode = jax.jit(lambda v, a: rvq.encode(qstate,
+                                             encoder.apply(v, a)))
+    rvq_decode = jax.jit(lambda qs, c: rvq.decode(qs, c, dtype=jnp.bfloat16))
+    seanet_decode = jax.jit(decoder.apply)
+    proj = jax.jit(lambda c: jnp.tile(c.astype(jnp.bfloat16) @ chroma_proj,
+                                      (2 * MEL_B, 1, 1)))
+    gen = GenParams(use_sampling=True, temp=1.0, top_k=250, cfg_coef=3.0)
+    seed = [300]
+
+    def run():
+        seed[0] += 1
+        wav, sr = audio_read("/root/reference/assets/bolero_ravel.mp3",
+                             duration=DURATION)
+        wav = convert_audio(wav[None], sr, SR, 1)[0]  # [1, T]
+        cg = chroma(jnp.asarray(wav[None]))           # [1, Tc, 12]
+        mel = proj(cg)                                 # [2B, Tc, dim]
+        mel_mask = jnp.ones(mel.shape[:2], jnp.int32)
+        ct = {"description": (text_cond, text_mask),
+              "self_wav": (mel, mel_mask)}
+        prompt = encode(enc_params,
+                        jnp.asarray(wav[:, :int(PROMPT_SEC * SR)],
+                                    jnp.bfloat16)[..., None])
+        prompt = jnp.tile(prompt[:, :, :n_prompt], (MEL_B, 1, 1))
+        tokens = lm_mod.generate(
+            model, params, jax.random.PRNGKey(seed[0]), prompt=prompt,
+            conditions=[], condition_tensors=ct, num_samples=MEL_B,
+            max_gen_len=n_total, gen=gen, cache_dtype=CACHE_DTYPE)
+        wavs = [seanet_decode(dec_params, rvq_decode(qstate, chunk))
+                for chunk in jnp.split(tokens, MEL_B // DEC_B)]
+        return np.asarray(jnp.concatenate(wavs))
+
+    dt = _timeit(run, n_iters=n_iters)
+    new_audio = MEL_B * (DURATION - PROMPT_SEC)
+    return round(new_audio / dt, 1)
 
 
 def bench_magnet():
@@ -181,9 +345,10 @@ def bench_magnet():
 
 
 def main():
-    audio_sec, bw_util = bench_musicgen()
+    audio_sec, bw_util, spread_pct = bench_musicgen()
     extra = {"batch": B, "kv_cache": "int8",
-             "decode_hbm_bw_utilization": bw_util}
+             "decode_hbm_bw_utilization": bw_util,
+             "iter_spread_pct": spread_pct}
     # secondary benches are best-effort: never let a fresh-compile stall of
     # a side metric take down the headline number
     try:
@@ -196,6 +361,14 @@ def main():
         extra["magnet_small_audio_sec_per_sec"] = bench_magnet()
     except Exception as e:  # pragma: no cover
         extra["magnet_error"] = str(e)[:120]
+    try:
+        extra["audiogen_medium_audio_sec_per_sec"] = bench_audiogen()
+    except Exception as e:  # pragma: no cover
+        extra["audiogen_error"] = str(e)[:120]
+    try:
+        extra["melody_continuation_audio_sec_per_sec"] = bench_melody()
+    except Exception as e:  # pragma: no cover
+        extra["melody_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "musicgen-small audio-sec/sec/chip",
         "value": round(audio_sec, 3),
