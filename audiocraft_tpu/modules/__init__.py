@@ -6,3 +6,5 @@ from .conv import (NormConv1d, NormConvTranspose1d, StreamableConv1d,
                    pad_for_conv1d, get_extra_padding_for_conv1d)
 from .lstm import StreamableLSTM, LSTMLayer
 from .seanet import SEANetEncoder, SEANetDecoder, SEANetResnetBlock
+from .demucs import (HTDemucs, apply_demucs, separate_melody,
+                     get_stem_separator)

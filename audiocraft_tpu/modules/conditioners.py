@@ -603,11 +603,15 @@ class ConditionFuser:
 class ChromaStemConditioner(WaveformConditioner):
     """Chroma conditioner for melody (`conditioners.py:571-760`).
 
-    Divergence (documented): the reference isolates the melodic stems
-    (vocals+other) with Demucs before chroma extraction
-    (`conditioners.py:596-607`); Demucs is not in this image, so the chroma
-    is computed on the full mix. For best melody transfer pass pre-separated
-    stems or chroma matrices directly.
+    Stem separation: like the reference (`conditioners.py:596-607`), the
+    melodic stems (vocals+other) are isolated with HTDemucs before chroma
+    extraction when a checkpoint is available (see
+    `modules/demucs.get_stem_separator`: $DEMUCS_CHECKPOINT or
+    `$AUDIOCRAFT_CACHE_DIR/htdemucs.th`); the separation runs host-driven
+    at tokenize time so the traced conditioner program stays static.
+    Without a checkpoint the chroma falls back to the full mix (documented
+    divergence; pass pre-separated stems or chroma matrices for exact
+    reference behavior in that case).
     """
     sample_rate: int = 32000
     n_chroma: int = 12
@@ -623,6 +627,21 @@ class ChromaStemConditioner(WaveformConditioner):
         return ChromaExtractor(sample_rate=self.sample_rate,
                                n_chroma=self.n_chroma,
                                radix2_exp=self.radix2_exp, argmax=True)
+
+    def _separator(self):
+        """(HTDemucs, params) when an htdemucs checkpoint is present."""
+        from .demucs import get_stem_separator
+        return get_stem_separator()
+
+    def _separate(self, wav: "np.ndarray", sample_rate: int) -> "np.ndarray":
+        """Isolate the melodic stems of [B, C, T] host-side; identity when
+        no separator checkpoint is available."""
+        sep = self._separator()
+        if sep is None:
+            return wav
+        from .demucs import separate_melody
+        model, params = sep
+        return separate_melody(model, params, wav, sample_rate)
 
     @property
     def chroma_len(self) -> int:
@@ -650,7 +669,10 @@ class ChromaStemConditioner(WaveformConditioner):
                 from ..data.audio import audio_read
                 from ..data.audio_utils import convert_audio
                 wav, sr = audio_read(str(path))
-                wav = convert_audio(np.asarray(wav)[None], sr,
+                # stem-separate at the file's native layout (the separator
+                # resamples to the demucs rate internally), then mix down
+                wav = self._separate(np.asarray(wav)[None], sr)
+                wav = convert_audio(np.asarray(wav), sr,
                                     self.sample_rate, 1)
                 return np.asarray(self._chroma()(jnp.asarray(wav)))[0]
 
@@ -674,6 +696,8 @@ class ChromaStemConditioner(WaveformConditioner):
     def tokenize(self, x: WavCondition) -> tp.Any:
         if (self.cache_path is None or x.wav.shape[-1] <= 1
                 or not x.path or all(p is None for p in x.path)):
+            if (self._separator() is not None and x.wav.shape[-1] > 1):
+                return self._tokenize_separated(x)
             return x
         # per-sample: cache hit for path-bearing rows, direct chroma for the
         # rest (CFG null rows and in-memory wavs have no path)
@@ -692,16 +716,45 @@ class ChromaStemConditioner(WaveformConditioner):
                     [x.sample_rate[idx]], [path], [seek])
                 rows.append(cache.get_embed_from_cache([path], row_x)[0])
             else:
-                wav = jnp.asarray(x.wav[idx:idx + 1], jnp.float32)
                 if int(np.asarray(x.length[idx])) <= 1:
                     rows.append(np.zeros((n_frames, self.n_chroma),
                                          np.float32))
                 else:
+                    sr_row = (x.sample_rate[idx] if idx < len(x.sample_rate)
+                              and x.sample_rate[idx] else self.sample_rate)
+                    wav = jnp.asarray(
+                        self._separate(np.asarray(x.wav[idx:idx + 1],
+                                                  np.float32), sr_row),
+                        jnp.float32)
                     c = np.asarray(self._chroma()(wav))[0]
                     c = c[:n_frames]
                     if c.shape[0] < n_frames:
                         c = np.pad(c, ((0, n_frames - c.shape[0]), (0, 0)))
                     rows.append(c)
+        return {"chroma": np.stack(rows).astype(np.float32),
+                "length": np.asarray(x.length)}
+
+    def _tokenize_separated(self, x: WavCondition) -> tp.Any:
+        """Host-side stem separation + chroma for every row; returns the
+        same precomputed-chroma dict the embedding cache produces so the
+        traced conditioner program stays identical either way."""
+        sr0 = (x.sample_rate[0] if x.sample_rate and x.sample_rate[0]
+               else self.sample_rate)
+        seg_samples = int(x.wav.shape[-1] * self.sample_rate / sr0)
+        n_frames = 1 + seg_samples // self._winhop
+        rows = []
+        for idx in range(x.wav.shape[0]):
+            if int(np.asarray(x.length[idx])) <= 1:
+                rows.append(np.zeros((n_frames, self.n_chroma), np.float32))
+                continue
+            sr_row = (x.sample_rate[idx] if idx < len(x.sample_rate)
+                      and x.sample_rate[idx] else self.sample_rate)
+            mel = self._separate(np.asarray(x.wav[idx:idx + 1], np.float32),
+                                 sr_row)
+            c = np.asarray(self._chroma()(jnp.asarray(mel)))[0][:n_frames]
+            if c.shape[0] < n_frames:
+                c = np.pad(c, ((0, n_frames - c.shape[0]), (0, 0)))
+            rows.append(c.astype(np.float32))
         return {"chroma": np.stack(rows).astype(np.float32),
                 "length": np.asarray(x.length)}
 

@@ -75,6 +75,64 @@ def stft(x: jax.Array, n_fft: int, hop_length: int,
     return jnp.swapaxes(spec, -1, -2)              # [..., bins, F]
 
 
+def istft(z: jax.Array, n_fft: int, hop_length: int,
+          win_length: tp.Optional[int] = None,
+          window: tp.Optional[jax.Array] = None, center: bool = True,
+          normalized: bool = False,
+          length: tp.Optional[int] = None) -> jax.Array:
+    """torch.istft-compatible inverse. z complex [..., n_fft//2+1, frames]
+    -> [..., T]. Windowed overlap-add with window-square normalization.
+
+    Uses a matmul inverse-rDFT (same MXU rationale as `stft`); the
+    overlap-add is a single scatter-add over a precomputed index map.
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        window = jnp.pad(window, (pad, n_fft - win_length - pad))
+    spec = jnp.swapaxes(z, -1, -2)                   # [..., frames, bins]
+    if normalized:
+        spec = spec * jnp.sqrt(jnp.asarray(n_fft, jnp.float32))
+    # inverse rDFT: x_n = (1/N) * sum_k w_k * (re_k cos + im_k sin), with
+    # w_k = 1 for DC/nyquist and 2 for the mirrored interior bins
+    bins = n_fft // 2 + 1
+    cos_m, sin_m = _dft_matrices(n_fft)              # [n_fft, bins]
+    w = np.full((bins,), 2.0, np.float32)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    re = jnp.real(spec) * w
+    im = jnp.imag(spec) * w
+    # note _dft_matrices' sin is already negated (forward basis), so the
+    # inverse x_n = (1/N)(re@cos^T - im@sin^T) becomes re@cos_m^T + im@sin_m^T
+    frames = (re @ jnp.asarray(cos_m.T) + im @ jnp.asarray(sin_m.T)) / n_fft
+    frames = frames * window                         # [..., F, n_fft]
+    F = frames.shape[-2]
+    T_full = n_fft + (F - 1) * hop_length
+    idx = (np.arange(F)[:, None] * hop_length
+           + np.arange(n_fft)[None, :]).reshape(-1)
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, F * n_fft))
+    out = jnp.zeros((flat.shape[0], T_full), flat.dtype)
+    out = out.at[:, idx].add(flat)
+    wsq = jnp.zeros((T_full,), jnp.float32)
+    wsq = wsq.at[idx].add(jnp.tile(window ** 2, F))
+    out = out / jnp.maximum(wsq, 1e-11)
+    out = out.reshape(batch_shape + (T_full,))
+    if center:
+        out = out[..., n_fft // 2:]
+        if length is None:
+            out = out[..., :T_full - n_fft]
+    if length is not None:
+        out = out[..., :length]
+        if out.shape[-1] < length:
+            pads = [(0, 0)] * (out.ndim - 1) + [(0, length - out.shape[-1])]
+            out = jnp.pad(out, pads)
+    return out
+
+
 def spectrogram(x: jax.Array, n_fft: int, hop_length: int,
                 win_length: tp.Optional[int] = None, power: float = 2.0,
                 center: bool = True, normalized: bool = False,

@@ -22,6 +22,7 @@ import typing as tp
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
@@ -844,3 +845,188 @@ def load_dac_from_path(path, n_quantizers=None):
         n_dec_blocks=len(model.decoder_rates),
         n_codebooks=model.n_codebooks)
     return DAC(model, n_quantizers), variables
+
+
+# ------------------------------------------------------------ HTDemucs map
+
+def _demucs_conv2d(src: dict, prefix: str) -> dict:
+    """torch Conv2d [out,in,kh,kw] -> flax kernel [kh,kw,in,out]."""
+    out = {"kernel": src[prefix + "weight"].transpose(2, 3, 1, 0)}
+    if prefix + "bias" in src:
+        out["bias"] = src[prefix + "bias"]
+    return out
+
+
+def _demucs_conv1d(src: dict, prefix: str) -> dict:
+    out = {"kernel": src[prefix + "weight"].transpose(2, 1, 0)}
+    if prefix + "bias" in src:
+        out["bias"] = src[prefix + "bias"]
+    return out
+
+
+def _demucs_convtr(src: dict, prefix: str, freq: bool) -> dict:
+    """torch ConvTranspose [in,out,k...] -> flax ConvTranspose kernel
+    [k...,in,out]; flax correlates, torch convolves, so flip the spatial
+    axes."""
+    w = src[prefix + "weight"]
+    if freq:  # [in, out, kh, kw]
+        k = w.transpose(2, 3, 0, 1)[::-1].copy()
+    else:     # [in, out, k]
+        k = w.transpose(2, 0, 1)[::-1].copy()
+    out = {"kernel": k}
+    if prefix + "bias" in src:
+        out["bias"] = src[prefix + "bias"]
+    return out
+
+
+def _demucs_norm(src: dict, prefix: str) -> dict:
+    return {"scale": src[prefix + "weight"], "bias": src[prefix + "bias"]}
+
+
+def _demucs_dconv(src: dict, prefix: str, depth: int) -> dict:
+    out = {}
+    for j in range(depth):
+        p = f"{prefix}layers.{j}."
+        out[f"layers_{j}_conv1"] = _demucs_conv1d(src, p + "0.")
+        out[f"layers_{j}_norm1"] = _demucs_norm(src, p + "1.")
+        out[f"layers_{j}_conv2"] = _demucs_conv1d(src, p + "3.")
+        out[f"layers_{j}_norm2"] = _demucs_norm(src, p + "4.")
+        out[f"layers_{j}_scale"] = {"scale": src[p + "6.scale"]}
+    return out
+
+
+def _demucs_tlayer(src: dict, prefix: str, cross: bool) -> dict:
+    """MyTransformerEncoderLayer / CrossTransformerEncoderLayer
+    (`demucs/transformer.py`) -> modules.demucs._TransformerLayer."""
+    attn_p = prefix + ("cross_attn." if cross else "self_attn.")
+    out = {
+        "attn": {
+            "in_proj_weight": src[attn_p + "in_proj_weight"].T,
+            "in_proj_bias": src[attn_p + "in_proj_bias"],
+            "out_proj": _dense(src, attn_p + "out_proj."),
+        },
+        "linear1": _dense(src, prefix + "linear1."),
+        "linear2": _dense(src, prefix + "linear2."),
+        "norm1": _demucs_norm(src, prefix + "norm1."),
+        "norm2": _demucs_norm(src, prefix + "norm2."),
+        "gamma_1": {"scale": src[prefix + "gamma_1.scale"]},
+        "gamma_2": {"scale": src[prefix + "gamma_2.scale"]},
+        "norm_out": _demucs_norm(src, prefix + "norm_out."),
+    }
+    if cross:
+        out["norm3"] = _demucs_norm(src, prefix + "norm3.")
+    return out
+
+
+def infer_htdemucs_config(src: dict) -> dict:
+    """Read the architecture hyperparameters out of a torch htdemucs state
+    dict (shapes define them; see modules/demucs.py HTDemucs fields)."""
+    depth = 1 + max(int(k.split(".")[1]) for k in src
+                    if k.startswith("encoder."))
+    channels = src["encoder.0.conv.weight"].shape[0]
+    audio_channels = src["tencoder.0.conv.weight"].shape[1]
+    growth = src["encoder.1.conv.weight"].shape[0] // channels
+    kernel_size = src["encoder.0.conv.weight"].shape[2]
+    hidden = src["encoder.0.dconv.layers.0.0.weight"].shape[0]
+    dconv_depth = 1 + max(
+        int(k.split(".")[4]) for k in src
+        if k.startswith("encoder.0.dconv.layers."))
+    t_depth = 1 + max(int(k.split(".")[2]) for k in src
+                      if k.startswith("crosstransformer.layers."))
+    bottom = (src["channel_upsampler.weight"].shape[0]
+              if "channel_upsampler.weight" in src else 0)
+    stride = 4  # fixed in demucs for freq/time enc layers
+    nfft = src["freq_emb.embedding.weight"].shape[0] * stride * 2
+    return dict(depth=depth, channels=channels,
+                audio_channels=audio_channels, growth=growth,
+                kernel_size=kernel_size, stride=stride,
+                dconv_compress=channels // hidden, dconv_depth=dconv_depth,
+                t_depth=t_depth, bottom_channels=bottom, nfft=nfft)
+
+
+def convert_htdemucs(src: dict) -> dict:
+    """torch htdemucs state dict -> flax variables for
+    `modules.demucs.HTDemucs`. Asserts every source key is consumed so a
+    layout drift fails loudly instead of separating garbage."""
+    cfg = infer_htdemucs_config(src)
+    used: set = set()
+    params: dict = {"freq_emb": {"embedding": {
+        "embedding": src["freq_emb.embedding.weight"]}}}
+    used.add("freq_emb.embedding.weight")
+
+    def mark(prefix):
+        used.update(k for k in src if k.startswith(prefix))
+
+    for i in range(cfg["depth"]):
+        for name, tp_, freq in [("encoder", "encoder", True),
+                                ("tencoder", "tencoder", False)]:
+            p = f"{tp_}.{i}."
+            conv = (_demucs_conv2d if freq else _demucs_conv1d)(src, p + "conv.")
+            rewrite = (_demucs_conv2d if freq else _demucs_conv1d)(
+                src, p + "rewrite.")
+            params[f"{name}_{i}"] = {
+                "conv": conv, "rewrite": rewrite,
+                "dconv": _demucs_dconv(src, p + "dconv.",
+                                       cfg["dconv_depth"])}
+            mark(p)
+        for name, freq in [("decoder", True), ("tdecoder", False)]:
+            p = f"{name}.{i}."
+            params[f"{name}_{i}"] = {
+                "rewrite": (_demucs_conv2d if freq else _demucs_conv1d)(
+                    src, p + "rewrite."),
+                "conv_tr": _demucs_convtr(src, p + "conv_tr.", freq)}
+            mark(p)
+
+    if cfg["bottom_channels"]:
+        u = _demucs_conv1d(src, "channel_upsampler.")
+        params["channel_upsampler"] = {
+            "kernel": u["kernel"][None], "bias": u["bias"]}
+        d = _demucs_conv1d(src, "channel_downsampler.")
+        params["channel_downsampler"] = {
+            "kernel": d["kernel"][None], "bias": d["bias"]}
+        params["channel_upsampler_t"] = _demucs_conv1d(
+            src, "channel_upsampler_t.")
+        params["channel_downsampler_t"] = _demucs_conv1d(
+            src, "channel_downsampler_t.")
+        mark("channel_")
+
+    ct = {"norm_in": _demucs_norm(src, "crosstransformer.norm_in."),
+          "norm_in_t": _demucs_norm(src, "crosstransformer.norm_in_t.")}
+    for i in range(cfg["t_depth"]):
+        cross = i % 2 == 1
+        ct[f"layers_{i}"] = _demucs_tlayer(
+            src, f"crosstransformer.layers.{i}.", cross)
+        ct[f"layers_t_{i}"] = _demucs_tlayer(
+            src, f"crosstransformer.layers_t.{i}.", cross)
+    params["crosstransformer"] = ct
+    mark("crosstransformer.")
+
+    leftover = [k for k in src if k not in used]
+    assert not leftover, f"unconsumed htdemucs keys: {leftover[:8]}"
+    params = jax.tree.map(jnp.asarray, params)
+    return {"params": params}
+
+
+def load_htdemucs_from_path(path):
+    """Load a demucs-package checkpoint (`demucs/states.py` payloads:
+    {'klass','args','kwargs','state'} or a raw state dict) and return
+    (HTDemucs module, variables)."""
+    import torch
+    from ..modules.demucs import HTDemucs
+    pkg = torch.load(Path(path), map_location="cpu", weights_only=False)
+    kwargs: dict = {}
+    if isinstance(pkg, dict) and "state" in pkg:
+        kwargs = dict(pkg.get("kwargs", {}) or {})
+        state = pkg["state"]
+    else:
+        state = pkg
+    src = {k: np.asarray(v.detach().to(torch.float32).numpy())
+           for k, v in state.items()}
+    cfg = infer_htdemucs_config(src)
+    fields = dict(cfg)
+    for key in ("sources", "samplerate", "segment"):
+        if key in kwargs:
+            fields[key] = (tuple(kwargs[key]) if key == "sources"
+                           else kwargs[key])
+    model = HTDemucs(**fields)
+    return model, convert_htdemucs(src)
