@@ -28,6 +28,14 @@ class JASCO:
         self.compression_variables = compression_variables
         self.model = model
         self.params = params
+        # the drum conditioner encodes the separated stem with the frozen
+        # codec (`ref jasco.py` assigns conditioner.compression_model)
+        from ..modules.jasco_conditioners import (DrumsConditioner,
+                                                  bind_drums_codec)
+        for cond in getattr(model, "conditioners", {}).values():
+            if isinstance(cond, DrumsConditioner):
+                bind_drums_codec(cond, compression_model,
+                                 compression_variables)
         self.latent_mean = latent_mean
         self.latent_std = latent_std
         self.max_duration = max_duration
@@ -74,8 +82,22 @@ class JASCO:
             from . import builders
             return builders.get_debug_jasco_model()
         from . import loaders
-        raise NotImplementedError(
-            "Requires a local JASCO checkpoint (zero-egress environment)")
+        compression_model, compression_vars = \
+            loaders.load_compression_model(name)
+        chords_mapping = kwargs.pop(
+            "chords_mapping_path",
+            "/root/reference/assets/chord_to_index_mapping.pkl")
+        model, params, cfg = loaders.load_jasco_model(
+            name, chords_mapping_path=chords_mapping)
+        return JASCO(
+            name, compression_model, compression_vars, model, params,
+            chords_mapping_path=cfg.get("chords_mapping_path",
+                                        chords_mapping),
+            latent_mean=float(cfg.get("compression_model_latent_mean", 0.0)),
+            latent_std=float(cfg.get("compression_model_latent_std", 1.0)),
+            max_duration=float(cfg.get("dataset", {}).get(
+                "segment_duration", 10.0) if isinstance(
+                    cfg.get("dataset"), dict) else 10.0))
 
     # ---- condition preparation (`jasco.py:130-250`) -----------------------
     def _prepare_chords(self, chords: tp.List[tp.Tuple[str, float]],
@@ -121,6 +143,27 @@ class JASCO:
                     "melody" in self.model.conditioners:
                 attrs.symbolic["melody"] = SymbolicCondition(
                     melody=np.asarray(melody_salience_matrix))
+            if "self_wav" in self.model.conditioners:
+                # drums conditioning (`ref jasco.py:176-207`): trim/pad the
+                # provided drum wav to the generation duration, null
+                # condition when absent
+                from ..modules.conditioners import WavCondition
+                if drums_wav is None:
+                    attrs.wav["self_wav"] = WavCondition(
+                        np.zeros((1, 1, 1), np.float32), np.array([0]),
+                        sample_rate=[self.sample_rate], path=[None])
+                else:
+                    w = np.asarray(drums_wav, np.float32)
+                    if w.ndim == 2:
+                        w = w[None]
+                    expected = int(self.duration * self.sample_rate)
+                    w = w[..., :expected]
+                    if w.shape[-1] < expected:
+                        w = np.pad(w, ((0, 0), (0, 0),
+                                       (0, expected - w.shape[-1])))
+                    attrs.wav["self_wav"] = WavCondition(
+                        w, np.array([w.shape[-1]]),
+                        sample_rate=[self.sample_rate], path=[None])
             attributes.append(attrs)
 
         latents = fm.generate(

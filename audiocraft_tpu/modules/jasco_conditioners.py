@@ -2,11 +2,15 @@
 
 Parity: `audiocraft/modules/jasco_conditioners.py:15-300`.
 
-Divergence (documented): `DrumsConditioner` in the reference separates the
-drum stem with Demucs (`jasco_conditioners.py:59-115`); Demucs is not in this
-image, so the conditioner consumes the provided waveform directly as the drum
-stem (pass pre-separated stems, e.g. the dataset's `sep_drums_*` files) and
-encodes it with our EnCodec.
+`DrumsConditioner` mirrors the reference pipeline
+(`jasco_conditioners.py:99-137`): drum-stem separation with the native
+HTDemucs (when `$DEMUCS_CHECKPOINT` / `$AUDIOCRAFT_CACHE_DIR/htdemucs.th`
+is present), continuous EnCodec encoding, quantization to the coarsest
+codebook, decode back to latents, temporal blurring. Without a demucs
+checkpoint the provided waveform is consumed directly as the drum stem
+(pass pre-separated stems, e.g. the dataset's `sep_drums_*` files); the
+codec is attached with `bind_drums_codec`, and pre-computed latents are
+still accepted.
 """
 import typing as tp
 
@@ -77,24 +81,84 @@ class DrumsConditioner(WaveformConditioner):
         zb = jnp.repeat(zb, bf, axis=1)
         return zb[:, :T]
 
-    def tokenize(self, x: WavCondition):
-        return x
+    @property
+    def seq_len(self) -> int:
+        return int(self.segment_duration * self.compression_model_framerate)
+
+    def _drums_stem(self, wav: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Isolate the drum stem host-side (`jasco_conditioners.py:99-109`);
+        identity when no htdemucs checkpoint is available."""
+        from .demucs import apply_demucs, get_stem_separator
+        sep = get_stem_separator()
+        if sep is None:
+            return wav
+        from ..data.audio_utils import convert_audio
+        model, params = sep
+        x = np.asarray(convert_audio(wav, sample_rate, model.samplerate,
+                                     model.audio_channels))
+        stems = apply_demucs(model, params, x)
+        drum = stems[:, model.sources.index("drums")]
+        return np.asarray(convert_audio(drum, model.samplerate,
+                                        sample_rate, 1))
+
+    def tokenize(self, x):
+        """WavCondition -> precomputed coarse drum latents (host-side
+        pipeline of `jasco_conditioners.py:124-137`) when a codec has been
+        bound with `bind_drums_codec`; otherwise passed through."""
+        if not isinstance(x, WavCondition):
+            return x
+        codec = getattr(self, "_codec", None)
+        if codec is None:
+            return x
+        model, variables = codec
+        wav = np.asarray(x.wav, np.float32)
+        B = wav.shape[0]
+        valid = (np.asarray(x.length).reshape(-1, 1) > 1).astype(np.float32)
+        if wav.shape[-1] <= 1:  # all-null batch
+            return {"latents": np.zeros(
+                (B, self.seq_len, self.compression_model_latent_dim),
+                np.float32), "valid": valid}
+        sr = (x.sample_rate[0] if x.sample_rate and x.sample_rate[0]
+              else self.sample_rate)
+        drums = self._drums_stem(wav, sr)
+        if sr != self.sample_rate:
+            from ..data.audio_utils import convert_audio
+            drums = np.asarray(convert_audio(drums, sr, self.sample_rate, 1))
+        codes, _ = model.encode(variables, jnp.asarray(drums))
+        coarse = codes[:, :1]                       # coarsest codebook only
+        latents = model.decode_latent(variables, coarse)  # [B, T, D]
+        return {"latents": np.asarray(latents, np.float32), "valid": valid}
 
     @nn.compact
     def __call__(self, x) -> ConditionType:
-        """x: either a WavCondition (pre-separated drum stem) or pre-computed
-        latents [B, T, D]."""
+        """x: dict from tokenize ({"latents", "valid"}), pre-computed
+        latents [B, T, D], or a WavCondition (requires a bound codec)."""
+        valid = None
+        if isinstance(x, dict):
+            valid = jnp.asarray(x["valid"])
+            x = x["latents"]
         if isinstance(x, WavCondition):
             raise RuntimeError(
-                "DrumsConditioner requires pre-computed drum latents in this "
-                "environment (no Demucs): pass latents via "
-                "SymbolicCondition-style precompute or the EmbeddingCache.")
+                "DrumsConditioner got a raw WavCondition: attach the codec "
+                "with bind_drums_codec(conditioner, model, variables) so "
+                "tokenize() can precompute drum latents, or pass latents "
+                "directly.")
         latents = jnp.asarray(x)  # [B, T, D]
         z = self._temporal_blur(latents)
         embeds = nn.Dense(self.output_dim, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="output_proj")(z)
         mask = jnp.ones_like(embeds[..., 0])
+        if valid is not None:  # null rows (dropout) get zero embeds + mask
+            embeds = embeds * valid[..., None]
+            mask = mask * valid
         return embeds, mask
+
+
+def bind_drums_codec(conditioner: DrumsConditioner, model, variables):
+    """Attach the frozen compression model the drum-latent pipeline encodes
+    with (reference: `jasco.py` assigns `conditioner.compression_model`)."""
+    object.__setattr__(conditioner, "_codec", (model, variables))
+    return conditioner
 
 
 class JascoConditioningProvider:
@@ -125,6 +189,38 @@ class JascoConditioningProvider:
                 text[condition].append(sample.text.get(condition))
         for attribute, batch in text.items():
             output[attribute] = self.conditioners[attribute].tokenize(batch)
+
+        # wav conditions (drum stems): batch the rows and let the
+        # conditioner's tokenize run its host-side pipeline
+        wavs = defaultdict(list)
+        for sample in inputs:
+            for attribute, wav_cond in sample.wav.items():
+                if attribute in self.conditioners:
+                    wavs[attribute].append(wav_cond)
+        for attribute, conds in wavs.items():
+            T = max(int(c.wav.shape[-1]) for c in conds)
+            rows, lengths, srs, paths = [], [], [], []
+            for c in conds:
+                w = np.asarray(c.wav, np.float32)
+                if w.shape[-1] < T:
+                    w = np.pad(w, ((0, 0),) * (w.ndim - 1)
+                               + ((0, T - w.shape[-1]),))
+                rows.append(w)
+                lengths.append(int(np.asarray(c.length).reshape(-1)[0]))
+                srs.append(c.sample_rate[0] if c.sample_rate else None)
+                paths.append(c.path[0] if c.path else None)
+            batched = WavCondition(np.concatenate(rows, axis=0),
+                                   np.asarray(lengths), sample_rate=srs,
+                                   path=paths)
+            tok = self.conditioners[attribute].tokenize(batched)
+            if isinstance(tok, dict) and "latents" in tok:
+                lat = tok["latents"][:, :self.sequence_length]
+                if lat.shape[1] < self.sequence_length:
+                    lat = np.pad(lat, ((0, 0),
+                                       (0, self.sequence_length - lat.shape[1]),
+                                       (0, 0)))
+                tok = dict(tok, latents=lat)
+            output[attribute] = tok
 
         # symbolic conditions: pad chords to sequence_length with null chord,
         # melody salience to [B, melody_dim, sequence_length] with zeros

@@ -344,31 +344,42 @@ def bench_magnet():
     return round(MB * DURATION / dt, 1)
 
 
+# Wall-clock budget for the secondary benches: fresh XLA compiles of the
+# medium (48-layer) audiogen scan can take minutes on the axon tunnel; with
+# a warm persistent cache (.jax_cache) the whole suite runs in ~6 min. Skip
+# remaining secondaries when the budget is spent so the headline JSON always
+# prints within the driver's window.
+BENCH_BUDGET_SEC = float(__import__("os").environ.get(
+    "AUDIOCRAFT_BENCH_BUDGET_SEC", 1200))
+
+
 def main():
+    t0 = time.time()
     audio_sec, bw_util, spread_pct = bench_musicgen()
     extra = {"batch": B, "kv_cache": "int8",
              "decode_hbm_bw_utilization": bw_util,
              "iter_spread_pct": spread_pct}
     # secondary benches are best-effort: never let a fresh-compile stall of
     # a side metric take down the headline number
-    try:
-        enc_rtf, dec_rtf = bench_encodec_rtf()
-        extra["encodec_encode_rtf"] = enc_rtf
-        extra["encodec_decode_rtf"] = dec_rtf
-    except Exception as e:  # pragma: no cover
-        extra["encodec_error"] = str(e)[:120]
-    try:
-        extra["magnet_small_audio_sec_per_sec"] = bench_magnet()
-    except Exception as e:  # pragma: no cover
-        extra["magnet_error"] = str(e)[:120]
-    try:
-        extra["audiogen_medium_audio_sec_per_sec"] = bench_audiogen()
-    except Exception as e:  # pragma: no cover
-        extra["audiogen_error"] = str(e)[:120]
-    try:
-        extra["melody_continuation_audio_sec_per_sec"] = bench_melody()
-    except Exception as e:  # pragma: no cover
-        extra["melody_error"] = str(e)[:120]
+    secondaries = [
+        ("encodec", lambda: dict(zip(("encodec_encode_rtf",
+                                      "encodec_decode_rtf"),
+                                     bench_encodec_rtf()))),
+        ("magnet", lambda: {"magnet_small_audio_sec_per_sec":
+                            bench_magnet()}),
+        ("audiogen", lambda: {"audiogen_medium_audio_sec_per_sec":
+                              bench_audiogen()}),
+        ("melody", lambda: {"melody_continuation_audio_sec_per_sec":
+                            bench_melody()}),
+    ]
+    for name, fn in secondaries:
+        if time.time() - t0 > BENCH_BUDGET_SEC:
+            extra[f"{name}_skipped"] = "bench time budget spent"
+            continue
+        try:
+            extra.update(fn())
+        except Exception as e:  # pragma: no cover
+            extra[f"{name}_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "musicgen-small audio-sec/sec/chip",
         "value": round(audio_sec, 3),
