@@ -839,12 +839,14 @@ class FeatureExtractor(WaveformConditioner):
         or absent wavs — have length <= 1); the device side multiplies by it
         instead of branching so the program stays jittable.
         """
+        wav = jnp.asarray(x.wav, jnp.float32)
+        valid = (np.asarray(x.length).reshape(-1, 1) > 1).astype(np.float32)
+        if self.model_name == "mert":
+            return self._tokenize_mert(x, wav, valid)
         codec = getattr(self, "_codec", None)
         assert codec is not None, \
             "call bind_feat_extractor(conditioner, model, variables) first"
         model, variables = codec
-        wav = jnp.asarray(x.wav, jnp.float32)
-        valid = (np.asarray(x.length).reshape(-1, 1) > 1).astype(np.float32)
         if wav.shape[-1] <= 1:  # all-null batch: skip the codec entirely
             return {"codes": np.zeros((wav.shape[0], self.encodec_n_q, 1),
                                       np.int32), "valid": valid}
@@ -854,17 +856,51 @@ class FeatureExtractor(WaveformConditioner):
         n_q = getattr(self, "_encodec_n_q_used", self.encodec_n_q)
         return {"codes": np.asarray(codes[:, :n_q]), "valid": valid}
 
-    @nn.compact
-    def __call__(self, tokenized) -> ConditionType:
+    def _tokenize_mert(self, x: WavCondition, wav: jax.Array,
+                       valid: "np.ndarray") -> tp.Any:
+        """MERT feature path (`conditioners.py:843-845`): excerpt ->
+        24kHz mono -> native HuBERT/MERT encoder -> [B, T75, hidden]."""
+        from .mert import get_mert
+        mert = get_mert()
+        assert mert is not None, (
+            "MusicGen-Style with model_name='mert' needs a local MERT "
+            "checkpoint: set $MERT_CHECKPOINT or place the HF snapshot "
+            "under $AUDIOCRAFT_CACHE_DIR/mert (m-a-p/MERT-v1-95M)")
+        model, variables = mert
+        if wav.shape[-1] <= 1:  # all-null batch
+            return {"mert": np.zeros((wav.shape[0], 1, model.hidden),
+                                     np.float32), "valid": valid}
+        rng = np.random.RandomState()
+        excerpt = self._excerpt(wav, rng)
+        from ..data.audio_utils import convert_audio
+        sr = (x.sample_rate[0] if x.sample_rate and x.sample_rate[0]
+              else self.sample_rate)
+        wav24 = convert_audio(excerpt, sr, model.sample_rate, 1)[:, 0]
+        embeds = model.apply(variables, wav24)
+        return {"mert": np.asarray(embeds, np.float32), "valid": valid}
+
+    def _feat_embeds(self, tokenized, dim: int) -> jax.Array:
+        """Embed the tokenized features to `dim`: MERT hidden states go
+        through a linear `embed` (`ref conditioners.py:818-819,849`); codec
+        codes through per-stream embedding tables summed."""
+        if "mert" in tokenized:
+            feats = jnp.asarray(tokenized["mert"], self.dtype)
+            return nn.Dense(dim, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name="embed")(feats)
         codes = jnp.asarray(tokenized["codes"])  # [B, n_q, T]
         table = self.param("embed", nn.initializers.normal(1.0),
-                           (self.encodec_n_q, self.feat_cardinality, self.dim),
+                           (self.encodec_n_q, self.feat_cardinality, dim),
                            self.param_dtype)
         # tolerate a post-hoc encodec_n_q reduction (set_params): use the
         # first codes.shape[1] stream tables
         gathered = jnp.take_along_axis(table[None, :codes.shape[1]],
                                        codes[..., None], axis=2)
-        embeds = jnp.sum(gathered, axis=1)  # [B, T, dim]
+        return jnp.sum(gathered, axis=1)  # [B, T, dim]
+
+    @nn.compact
+    def __call__(self, tokenized) -> ConditionType:
+        embeds = self._feat_embeds(tokenized, self.dim)
         valid = jnp.asarray(tokenized["valid"])          # [B, 1]
         embeds = embeds * valid[..., None]
         mask = jnp.ones_like(embeds[..., 0]) * valid
@@ -903,13 +939,7 @@ class StyleConditioner(FeatureExtractor):
         tr_args = dict(self._TR_ARGS[self.transformer_scale])
         dim = tr_args["d_model"]
 
-        codes = jnp.asarray(tokenized["codes"])
-        table = self.param("embed", nn.initializers.normal(1.0),
-                           (self.encodec_n_q, self.feat_cardinality, dim),
-                           self.param_dtype)
-        gathered = jnp.take_along_axis(table[None, :codes.shape[1]],
-                                       codes[..., None], axis=2)
-        z = jnp.sum(gathered, axis=1)  # [B, T, dim]
+        z = self._feat_embeds(tokenized, dim)  # [B, T, dim]
 
         if self.transformer_scale != "none":
             z, _ = StreamingTransformer(
@@ -919,10 +949,27 @@ class StyleConditioner(FeatureExtractor):
                 param_dtype=self.param_dtype, name="transformer",
                 **tr_args)(z)
         if self.batch_norm:
-            # affine-free feature standardization (stabilizes training)
-            mean = jnp.mean(z, axis=(0, 1), keepdims=True)
-            var = jnp.var(z, axis=(0, 1), keepdims=True)
-            z = (z - mean) / jnp.sqrt(var + 1e-5)
+            # affine-free BatchNorm1d (`ref conditioners.py:934`): batch
+            # stats + running-average update at train, running stats at
+            # eval (so ported checkpoints evaluate identically). Training
+            # callers must mark 'batch_stats' mutable to persist updates.
+            ra_mean = self.variable("batch_stats", "bn_mean",
+                                    lambda: jnp.zeros((dim,), jnp.float32))
+            ra_var = self.variable("batch_stats", "bn_var",
+                                   lambda: jnp.ones((dim,), jnp.float32))
+            if training:
+                zf = z.astype(jnp.float32)
+                mean = jnp.mean(zf, axis=(0, 1))
+                var = jnp.var(zf, axis=(0, 1))
+                if not self.is_initializing():
+                    n = zf.shape[0] * zf.shape[1]
+                    unbiased = var * n / max(n - 1, 1)
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            z = ((z - mean.astype(z.dtype))
+                 / jnp.sqrt(var + 1e-5).astype(z.dtype))
         if self.n_q_out > 0:
             rvq = ResidualVectorQuantizer(
                 dimension=dim, n_q=self.n_q_out, q_dropout=self.q_dropout,

@@ -388,9 +388,17 @@ def convert_lm_state(src: dict, *, n_q: int, num_layers: int,
     if norm_first:
         p["out_norm"] = {"scale": src["out_norm.weight"],
                          "bias": src["out_norm.bias"]}
+    p["transformer"] = _convert_streaming_layers(src, "transformer.",
+                                                 num_layers, cross_attention)
+    return {"params": p}
+
+
+def _convert_streaming_layers(src: dict, prefix: str, num_layers: int,
+                              cross_attention: bool) -> dict:
+    """Reference StreamingTransformer layer stack -> our params."""
     tr: dict = {}
     for i in range(num_layers):
-        rp = f"transformer.layers.{i}."
+        rp = f"{prefix}layers.{i}."
         layer: dict = {
             "self_attn": _convert_mha(src, rp + "self_attn."),
             "norm1": {"scale": src[rp + "norm1.weight"],
@@ -405,8 +413,70 @@ def convert_lm_state(src: dict, *, n_q: int, num_layers: int,
             layer["norm_cross"] = {"scale": src[rp + "norm_cross.weight"],
                                    "bias": src[rp + "norm_cross.bias"]}
         tr[f"layers_{i}"] = layer
-    p["transformer"] = tr
-    return {"params": p}
+    return tr
+
+
+def convert_lm_conditioners(src: dict, model) -> tp.Tuple[dict, dict]:
+    """Conditioner weights of an exported LM package -> (params, extra
+    variable collections). Keys live under
+    `condition_provider.conditioners.<name>.*` (`ref export.py:45-78`;
+    T5 is frozen so only its output_proj is in the checkpoint).
+
+    Returns ({"conditioners_<name>": ...}, extras) where extras may hold
+    'quantizer' / 'batch_stats' collections (StyleConditioner)."""
+    from ..modules.conditioners import (ChromaStemConditioner,
+                                        FeatureExtractor, LUTConditioner,
+                                        StyleConditioner, T5Conditioner)
+    params: dict = {}
+    extras: tp.Dict[str, dict] = {}
+    for name, cond in getattr(model, "conditioners", {}).items():
+        cp = f"condition_provider.conditioners.{name}."
+        key = f"conditioners_{name}"
+        if not any(k.startswith(cp) for k in src):
+            continue
+        if isinstance(cond, StyleConditioner):
+            dim = cond._TR_ARGS[cond.transformer_scale]["d_model"]
+            entry: dict = {"output_proj": _dense(src, cp + "output_proj.")}
+            if cp + "embed.weight" in src:          # mert: Linear(768, dim)
+                entry["embed"] = _dense(src, cp + "embed.")
+            else:                                   # encodec: table list
+                n_q = 0
+                while f"{cp}embed.{n_q}.weight" in src:
+                    n_q += 1
+                entry["embed"] = np.stack(
+                    [src[f"{cp}embed.{k}.weight"] for k in range(n_q)])
+            if cond.transformer_scale != "none":
+                n_layers = cond._TR_ARGS[cond.transformer_scale]["num_layers"]
+                entry["transformer"] = _convert_streaming_layers(
+                    src, cp + "transformer.", n_layers, cross_attention=False)
+            params[key] = entry
+            if cond.n_q_out > 0 and f"{cp}rvq.vq.layers.0._codebook.embed" in src:
+                extras.setdefault("quantizer", {})[key] = {
+                    "style_rvq": convert_rvq(src, cp + "rvq.", cond.n_q_out)}
+            if cp + "batch_norm.running_mean" in src:
+                extras.setdefault("batch_stats", {})[key] = {
+                    "bn_mean": src[cp + "batch_norm.running_mean"],
+                    "bn_var": src[cp + "batch_norm.running_var"]}
+        elif isinstance(cond, LUTConditioner):
+            params[key] = {"embed": {"embedding": src[cp + "embed.weight"]},
+                           "output_proj": _dense(src, cp + "output_proj.")}
+        elif isinstance(cond, (T5Conditioner, ChromaStemConditioner)):
+            params[key] = {"output_proj": _dense(src, cp + "output_proj.")}
+        elif isinstance(cond, FeatureExtractor):
+            entry = {"output_proj": _dense(src, cp + "output_proj.")}
+            if cp + "embed.weight" in src:
+                entry["embed"] = _dense(src, cp + "embed.")
+            else:
+                n_q = 0
+                while f"{cp}embed.{n_q}.weight" in src:
+                    n_q += 1
+                entry["embed"] = np.stack(
+                    [src[f"{cp}embed.{k}.weight"] for k in range(n_q)])
+            params[key] = entry
+        else:
+            logger.warning("no conversion rule for conditioner %s (%s); "
+                           "its weights were skipped", name, type(cond))
+    return params, extras
 
 
 def _dense(src: dict, prefix: str) -> dict:
@@ -528,6 +598,11 @@ def load_lm_model_from_dir(path: Path):
         state, n_q=model.n_q, num_layers=model.num_layers,
         cross_attention=model.cross_attention, bias_proj=model.bias_proj,
         norm_first=model.norm_first)
+    cond_params, extras = convert_lm_conditioners(state, model)
+    params["params"].update(cond_params)
+    for coll, tree in extras.items():
+        params[coll] = tree
+    params = jax.tree.map(jnp.asarray, params)
     return model, params, cfg
 
 
@@ -1030,3 +1105,105 @@ def load_htdemucs_from_path(path):
                            else kwargs[key])
     model = HTDemucs(**fields)
     return model, convert_htdemucs(src)
+
+
+# --------------------------------------------------------- HuBERT/MERT map
+
+def convert_hubert(src: dict) -> dict:
+    """HF transformers Hubert/MERT state dict -> flax variables for
+    `modules.mert.MERTModel`. Handles both the old weight-norm naming
+    (`pos_conv_embed.conv.weight_g/_v`) and the parametrizations one
+    (`...parametrizations.weight.original0/1`)."""
+    params: dict = {"feature_extractor": {}}
+    n_conv = 1 + max(int(k.split(".")[2]) for k in src
+                     if k.startswith("feature_extractor.conv_layers."))
+    for i in range(n_conv):
+        p = f"feature_extractor.conv_layers.{i}."
+        conv = {"kernel": src[p + "conv.weight"].transpose(2, 1, 0)}
+        if p + "conv.bias" in src:
+            conv["bias"] = src[p + "conv.bias"]
+        params["feature_extractor"][f"conv_{i}"] = conv
+        if i == 0 and p + "layer_norm.weight" in src:
+            params["feature_extractor"]["group_norm"] = _demucs_norm(
+                src, p + "layer_norm.")
+    params["fp_layer_norm"] = _demucs_norm(src, "feature_projection.layer_norm.")
+    params["fp_projection"] = _dense(src, "feature_projection.projection.")
+
+    # weight-normed positional conv: materialize the effective weight
+    pc = "encoder.pos_conv_embed.conv."
+    if pc + "weight" in src:
+        w = src[pc + "weight"]
+    else:
+        if pc + "weight_g" in src:
+            g, v = src[pc + "weight_g"], src[pc + "weight_v"]
+        else:
+            g = src[pc + "parametrizations.weight.original0"]
+            v = src[pc + "parametrizations.weight.original1"]
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = g * v / np.maximum(norm, 1e-12)   # torch weight_norm dim=2
+    params["pos_conv_embed"] = {"conv": {
+        # grouped torch conv [out, in/groups, k] -> flax [k, in/groups, out]
+        "kernel": w.transpose(2, 1, 0), "bias": src[pc + "bias"]}}
+    params["encoder_layer_norm"] = _demucs_norm(src, "encoder.layer_norm.")
+
+    n_layers = 1 + max(int(k.split(".")[2]) for k in src
+                       if k.startswith("encoder.layers."))
+    for i in range(n_layers):
+        p = f"encoder.layers.{i}."
+        params[f"layers_{i}"] = {
+            "q_proj": _dense(src, p + "attention.q_proj."),
+            "k_proj": _dense(src, p + "attention.k_proj."),
+            "v_proj": _dense(src, p + "attention.v_proj."),
+            "out_proj": _dense(src, p + "attention.out_proj."),
+            "layer_norm": _demucs_norm(src, p + "layer_norm."),
+            "intermediate_dense": _dense(
+                src, p + "feed_forward.intermediate_dense."),
+            "output_dense": _dense(src, p + "feed_forward.output_dense."),
+            "final_layer_norm": _demucs_norm(src, p + "final_layer_norm."),
+        }
+    params = jax.tree.map(jnp.asarray, params)
+    return {"params": params}
+
+
+def load_mert_from_path(path):
+    """Load a local MERT/HuBERT torch checkpoint (HF pytorch_model.bin or a
+    raw state dict) and return (MERTModel, variables)."""
+    import torch
+    from ..modules.mert import MERTModel
+    p = Path(path)
+    if p.is_dir():
+        cands = (list(p.glob("pytorch_model.bin"))
+                 + list(p.glob("*.bin")) + list(p.glob("*.pt")))
+        assert cands, f"no torch checkpoint under {p}"
+        p = cands[0]
+    state = torch.load(p, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    src = {k.replace("hubert.", ""): np.asarray(
+        v.detach().to(torch.float32).numpy())
+        for k, v in state.items()}
+    hidden = src["feature_projection.projection.weight"].shape[0]
+    n_layers = 1 + max(int(k.split(".")[2]) for k in src
+                       if k.startswith("encoder.layers."))
+    ffn = src["encoder.layers.0.feed_forward.intermediate_dense.weight"].shape[0]
+    n_conv = 1 + max(int(k.split(".")[2]) for k in src
+                     if k.startswith("feature_extractor.conv_layers."))
+    conv_dim = tuple(
+        src[f"feature_extractor.conv_layers.{i}.conv.weight"].shape[0]
+        for i in range(n_conv))
+    kernels = tuple(
+        src[f"feature_extractor.conv_layers.{i}.conv.weight"].shape[2]
+        for i in range(n_conv))
+    pc = "encoder.pos_conv_embed.conv."
+    pos_w = src.get(pc + "weight",
+                    src.get(pc + "weight_v",
+                            src.get(pc + "parametrizations.weight.original1")))
+    model = MERTModel(hidden=hidden, num_layers=n_layers,
+                      num_heads=max(1, hidden // 64), intermediate=ffn,
+                      conv_dim=conv_dim, conv_kernel=kernels,
+                      conv_stride=(5,) + (2,) * (n_conv - 1),
+                      pos_kernel=pos_w.shape[2],
+                      pos_groups=hidden // pos_w.shape[1],
+                      conv_bias="feature_extractor.conv_layers.0.conv.bias"
+                      in src)
+    return model, convert_hubert(src)

@@ -42,6 +42,21 @@ CACHE_DTYPE = jnp.int8
 V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec)
 
 
+def _drain(*arrays):
+    """Completion barrier: reduce every output to one f32 and fetch it.
+
+    The axon tunnel's device->host bandwidth is unstable (measured 0.075 to
+    65 MB/s across a session) and `block_until_ready` does not actually
+    synchronize on this platform, so timing by fetching full waveforms
+    measures tunnel luck, not chip throughput. A checksum depends on every
+    output element — XLA must finish all compute — while the transfer is 4
+    bytes. Production serving streams PCM over local DMA, which the tunnel
+    does not represent; `extra.completion` documents this choice.
+    """
+    return [float(np.asarray(jnp.sum(a.astype(jnp.float32))))
+            for a in arrays]
+
+
 def _timeit(fn, n_iters=3):
     fn()  # compile
     times = []
@@ -114,7 +129,7 @@ def bench_musicgen():
             condition_tensors=condition_tensors, num_samples=B,
             max_gen_len=int(DURATION * FRAME_RATE), gen=gen,
             cache_dtype=CACHE_DTYPE)
-        return np.asarray(decode_audio(tokens))  # host transfer = completion
+        return _drain(decode_audio(tokens))  # checksum = completion
 
     dt, spread_pct = _timeit_var(run)
     audio_sec = B * DURATION / dt
@@ -154,8 +169,8 @@ def bench_encodec_rtf():
     decode = jax.jit(lambda v, c: model.decode(v, c))
     codes = encode(variables, x)
 
-    enc_dt = _timeit(lambda: np.asarray(encode(variables, x)))
-    dec_dt = _timeit(lambda: np.asarray(decode(variables, codes)))
+    enc_dt = _timeit(lambda: _drain(encode(variables, x)))
+    dec_dt = _timeit(lambda: _drain(decode(variables, codes)))
     audio = EB * 10.0
     return round(audio / enc_dt, 1), round(audio / dec_dt, 1)
 
@@ -205,7 +220,7 @@ def bench_audiogen(scale="medium", AG_B=64, n_iters=3):
             gen=gen, cache_dtype=CACHE_DTYPE)
         wavs = [seanet_decode(dec_params, rvq_decode(qstate, chunk))
                 for chunk in jnp.split(tokens, AG_B // DEC_B)]
-        return np.asarray(jnp.concatenate(wavs))
+        return _drain(jnp.concatenate(wavs))
 
     dt = _timeit(run, n_iters=n_iters)
     return round(AG_B * AG_DUR / dt, 1)
@@ -301,11 +316,52 @@ def bench_melody(scale="small", MEL_B=64, n_iters=3):
             max_gen_len=n_total, gen=gen, cache_dtype=CACHE_DTYPE)
         wavs = [seanet_decode(dec_params, rvq_decode(qstate, chunk))
                 for chunk in jnp.split(tokens, MEL_B // DEC_B)]
-        return np.asarray(jnp.concatenate(wavs))
+        return _drain(jnp.concatenate(wavs))
 
     dt = _timeit(run, n_iters=n_iters)
     new_audio = MEL_B * (DURATION - PROMPT_SEC)
     return round(new_audio / dt, 1)
+
+
+def bench_train(TB=8, n_iters=3, scale="small"):
+    """musicgen-small CE training-step throughput on one chip: full fwd+bwd
+    +AdamW over 10s token sequences with per-layer activation checkpointing
+    (`config/solver/musicgen/default.yaml` shape; grids run this under
+    dp+fsdp across chips — see tests/parallel for the sharded step)."""
+    import optax
+    from audiocraft_tpu.models.lm import (LMModel, init_lm_params,
+                                          tokenize_conditions)
+    from audiocraft_tpu.models.presets import musicgen_lm
+    from audiocraft_tpu.modules.conditioners import ConditioningAttributes
+    from audiocraft_tpu.solvers.musicgen import (init_train_state,
+                                                 make_train_step)
+
+    model = musicgen_lm(scale, n_q=4, card=2048, dtype=jnp.bfloat16,
+                        checkpointing="torch")
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
+    optimizer = optax.adamw(1e-4, b1=0.9, b2=0.95)
+    state = init_train_state(model, params, optimizer)
+    step = make_train_step(model, optimizer)
+
+    T = int(DURATION * FRAME_RATE)
+    codes = jax.random.randint(jax.random.PRNGKey(1), (TB, 4, T), 0, 2048)
+    attrs = [ConditioningAttributes(text={"description": f"track {i}"})
+             for i in range(TB)]
+    tokenized = tokenize_conditions(model, attrs)
+    padding_mask = jnp.ones((TB, T), bool)
+    rngs = jax.random.split(jax.random.PRNGKey(2), n_iters + 1)
+
+    state, metrics = step(state, codes, tokenized, padding_mask, rngs[0])
+    _drain(metrics["ce"])  # compile + first step
+    times = []
+    for i in range(n_iters):
+        t0 = time.time()
+        state, metrics = step(state, codes, tokenized, padding_mask,
+                              rngs[i + 1])
+        _drain(metrics["ce"])
+        times.append(time.time() - t0)
+    dt = float(np.mean(times))
+    return round(TB * DURATION / dt, 1)
 
 
 def bench_magnet():
@@ -335,7 +391,7 @@ def bench_magnet():
 
     def run():
         seed[0] += 1
-        return np.asarray(lm_magnet.generate_magnet(
+        return _drain(lm_magnet.generate_magnet(
             model, params, jax.random.PRNGKey(seed[0]), conditions=[],
             condition_tensors=ct, num_samples=MB,
             max_gen_len=int(DURATION * FRAME_RATE)))
@@ -358,7 +414,8 @@ def main():
     audio_sec, bw_util, spread_pct = bench_musicgen()
     extra = {"batch": B, "kv_cache": "int8",
              "decode_hbm_bw_utilization": bw_util,
-             "iter_spread_pct": spread_pct}
+             "iter_spread_pct": spread_pct,
+             "completion": "device-checksum (tunnel D2H excluded)"}
     # secondary benches are best-effort: never let a fresh-compile stall of
     # a side metric take down the headline number
     secondaries = [
@@ -371,6 +428,8 @@ def main():
                               bench_audiogen()}),
         ("melody", lambda: {"melody_continuation_audio_sec_per_sec":
                             bench_melody()}),
+        ("train", lambda: {"train_small_audio_sec_per_sec":
+                           bench_train()}),
     ]
     for name, fn in secondaries:
         if time.time() - t0 > BENCH_BUDGET_SEC:
