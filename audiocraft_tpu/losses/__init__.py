@@ -4,4 +4,7 @@ from .balancer import Balancer, BalancerState
 from .sisnr import SISNR
 from .specloss import (MelSpectrogramL1Loss, MelSpectrogramWrapper,
                        MultiScaleMelSpectrogramLoss)
-from .stftloss import MRSTFTLoss, STFTLoss, STFTLosses
+from .stftloss import (MRSTFTLoss, STFTLoss, STFTLosses,
+                       log_stft_magnitude, spectral_convergence)
+from .loudnessloss import FLoudnessRatio, TFLoudnessRatio, TLoudnessRatio
+from .wmloss import WMDetectionLoss, WMMbLoss

@@ -1,6 +1,8 @@
 """Models: composition + generation APIs (layer 4)."""
 # flake8: noqa
 from . import builders
+from . import loaders
+from .dac import DAC, DACModel
 from .encodec import (CompressionModel, EncodecModel,
                       InterleaveStereoCompressionModel)
 from .lm import LMModel, LMOutput, GenParams

@@ -8,3 +8,6 @@ from .lstm import StreamableLSTM, LSTMLayer
 from .seanet import SEANetEncoder, SEANetDecoder, SEANetResnetBlock
 from .demucs import (HTDemucs, apply_demucs, separate_melody,
                      get_stem_separator)
+from .conv import NormConv2d
+from .transformer import StreamingTransformer
+from .mert import MERTModel, get_mert
