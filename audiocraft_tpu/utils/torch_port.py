@@ -1172,16 +1172,25 @@ def load_mert_from_path(path):
     from ..modules.mert import MERTModel
     p = Path(path)
     if p.is_dir():
-        cands = (list(p.glob("pytorch_model.bin"))
+        cands = (list(p.glob("model.safetensors"))
+                 + list(p.glob("pytorch_model.bin"))
                  + list(p.glob("*.bin")) + list(p.glob("*.pt")))
         assert cands, f"no torch checkpoint under {p}"
         p = cands[0]
-    state = torch.load(p, map_location="cpu", weights_only=True)
-    if isinstance(state, dict) and "state_dict" in state:
-        state = state["state_dict"]
-    src = {k.replace("hubert.", ""): np.asarray(
-        v.detach().to(torch.float32).numpy())
-        for k, v in state.items()}
+    if p.suffix == ".safetensors":
+        from safetensors import safe_open
+        src = {}
+        with safe_open(p, framework="np") as f:
+            for k in f.keys():
+                src[k.replace("hubert.", "")] = np.asarray(f.get_tensor(k),
+                                                           np.float32)
+    else:
+        state = torch.load(p, map_location="cpu", weights_only=True)
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+        src = {k.replace("hubert.", ""): np.asarray(
+            v.detach().to(torch.float32).numpy())
+            for k, v in state.items()}
     hidden = src["feature_projection.projection.weight"].shape[0]
     n_layers = 1 + max(int(k.split(".")[2]) for k in src
                        if k.startswith("encoder.layers."))

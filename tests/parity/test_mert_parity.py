@@ -60,3 +60,21 @@ def test_load_mert_from_path(ref_model, tmp_path):
                       pos_kernel=16, pos_groups=4)
     out = np.asarray(model.apply(variables, jnp.asarray(x)))
     assert np.abs(out - ref).max() < 2e-4
+
+
+def test_load_mert_safetensors(ref_model, tmp_path):
+    """HF snapshots ship model.safetensors; the loader must read it."""
+    from safetensors.torch import save_file
+    from audiocraft_tpu.utils.torch_port import load_mert_from_path
+    save_file({k: v.contiguous() for k, v in ref_model.state_dict().items()},
+              str(tmp_path / "model.safetensors"))
+    model, variables = load_mert_from_path(tmp_path)
+    x = np.random.RandomState(2).randn(1, 2400).astype(np.float32)
+    model = MERTModel(hidden=32, num_layers=2, num_heads=2, intermediate=64,
+                      conv_dim=(24, 24), conv_kernel=(10, 3),
+                      conv_stride=(5, 2), conv_bias=False,
+                      pos_kernel=16, pos_groups=4)
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = ref_model(torch.from_numpy(x)).last_hidden_state.numpy()
+    assert np.abs(out - ref).max() < 2e-4
