@@ -89,6 +89,110 @@ def least_probable_span_masking(scores: np.ndarray, num_masked_trg: int,
 _MAGNET_JIT_CACHE: tp.Dict[tp.Any, tp.Any] = {}
 
 
+def _magnet_stage_scan(model: MagnetLMModel, stage: int, T: int, B: int,
+                       has_cfg: bool, use_sampling: bool, top_k: int,
+                       top_p: float, chunk_masking: bool, span_scoring: str,
+                       prompt_length: int, n_steps: int, cond_struct):
+    """One compiled `lax.scan` over a stage's decoding steps.
+
+    The reference (and our former implementation) runs each step as its own
+    device program with host-side masking between steps; on the tunnel-
+    attached TPU the per-step host round-trips and the per-(cfg, temp)
+    recompiles dominate. Here masking, sampling and span scoring are all
+    traced, with the per-step quantities (num_masked, cfg coef, temperature)
+    passed as scan inputs, so a whole stage is one XLA program and tokens
+    never leave HBM. Exact same schedule semantics (`lm_magnet.py:151-441`).
+    """
+    key = ("scan", id(model), stage, T, B, has_cfg, use_sampling, top_k,
+           top_p, chunk_masking, span_scoring, prompt_length, n_steps,
+           cond_struct)
+    if key in _MAGNET_JIT_CACHE:
+        return _MAGNET_JIT_CACHE[key]
+    attn_bias = model.stage_attn_bias(stage, T)
+    bias_const = None if attn_bias is None else jnp.asarray(attn_bias)
+    mask_id = model.special_token_id
+    span = model.span_len if chunk_masking else 1
+    n_scored = T // span  # chunks (nonoverlap) or tokens (span 1)
+
+    def run(params, gen_sequence, scores0, condition_tensors, prompt, rng,
+            num_masked, cfg_coefs, temps):
+        stage_gen_seq0 = jnp.full((B, T), mask_id, jnp.int32)
+
+        def step(carry, xs):
+            gen_sequence, stage_gen_seq, scores, rng = carry
+            n_mask, cfg_coef, t = xs
+            # --- mask selection: top-num_masked scores ---------------------
+            order = jnp.argsort(-scores, axis=-1)              # [B, n]
+            rank_mask = jnp.arange(n_scored)[None, :] < n_mask  # [1, n]
+            sel = jnp.zeros((B, n_scored), bool)
+            sel = sel.at[jnp.arange(B)[:, None], order].set(
+                jnp.broadcast_to(rank_mask, (B, n_scored)))
+            tok_mask = (jnp.repeat(sel, span, axis=-1) if span > 1 else sel)
+            stage_gen_seq = jnp.where(tok_mask, mask_id, stage_gen_seq)
+            if prompt_length > 0:
+                stage_gen_seq = stage_gen_seq.at[:, :prompt_length].set(
+                    prompt[:, stage, :prompt_length])
+            gen_sequence = gen_sequence.at[:, stage, :].set(stage_gen_seq)
+
+            # --- forward + CFG + sample ------------------------------------
+            seq = (jnp.concatenate([gen_sequence] * 2, axis=0) if has_cfg
+                   else gen_sequence)
+            all_logits, _ = model.apply(params, seq, condition_tensors,
+                                        attn_bias=bias_const)
+            if has_cfg:
+                cond_l, uncond_l = all_logits[:B], all_logits[B:]
+                logits = uncond_l + (cond_l - uncond_l) * cfg_coef
+            else:
+                logits = all_logits
+            logits = logits[:, stage]                           # [B, T, card]
+            probs = jax.nn.softmax(
+                logits.astype(jnp.float32) / jnp.maximum(t, 1e-2), axis=-1)
+            rng, r = jax.random.split(rng)
+            if use_sampling:
+                if top_p > 0.0:
+                    from ..utils.utils import sample_top_p
+                    sampled = sample_top_p(r, probs, p=top_p)
+                elif top_k > 0:
+                    from ..utils.utils import sample_top_k
+                    sampled = sample_top_k(r, probs, k=top_k)
+                else:
+                    from ..utils.utils import multinomial
+                    sampled = multinomial(r, probs)
+            else:
+                sampled = jnp.argmax(logits, axis=-1)[..., None]
+            sampled_probs = jnp.take_along_axis(probs, sampled,
+                                                axis=-1)[..., 0]
+            sampled = sampled[..., 0]                           # [B, T]
+
+            mask_tok = stage_gen_seq == mask_id
+            stage_gen_seq = jnp.where(mask_tok, sampled, stage_gen_seq)
+            gen_sequence = gen_sequence.at[:, stage, :].set(stage_gen_seq)
+
+            # --- span scoring (`lm_magnet.py:414-436`) ---------------------
+            if chunk_masking:
+                if span_scoring == "max":
+                    new_scores = 1.0 - sampled_probs.reshape(
+                        B, n_scored, span).max(axis=-1)
+                else:  # prod
+                    new_scores = (-jnp.log(jnp.maximum(sampled_probs, 1e-20))
+                                  ).reshape(B, n_scored, span).sum(axis=-1)
+                new_scores = jnp.where(~sel, DONT_REMASK_ME_SCORE, new_scores)
+            else:
+                new_scores = -jnp.log(jnp.maximum(sampled_probs, 1e-20))
+                new_scores = jnp.where(~mask_tok, DONT_REMASK_ME_SCORE,
+                                       new_scores)
+            return (gen_sequence, stage_gen_seq, new_scores, rng), None
+
+        (gen_sequence, _, _, _), _ = jax.lax.scan(
+            step, (gen_sequence, stage_gen_seq0, scores0, rng),
+            (num_masked, cfg_coefs, temps))
+        return gen_sequence
+
+    fn = jax.jit(run)
+    _MAGNET_JIT_CACHE[key] = fn
+    return fn
+
+
 def _magnet_fwd_sample(model: MagnetLMModel, stage: int, T: int, B: int,
                        has_cfg: bool, cfg_coef: float, t: float,
                        use_sampling: bool, top_k: int, top_p: float,
@@ -195,6 +299,45 @@ def generate_magnet(model: MagnetLMModel, params, rng: jax.Array,
     curr_step = 0
     total_steps = sum(decoding_steps)
     gen_seq_dev = jnp.asarray(gen_sequence)
+
+    if not lps_masking:
+        # fast path: each stage runs as ONE compiled lax.scan (device-side
+        # masking/sampling/scoring); the stride-1 least-probable-span policy
+        # keeps the host loop below (data-dependent binary search)
+        prompt_dev = jnp.asarray(prompt_np) if prompt_length > 0 else \
+            jnp.zeros((B, K, 1), jnp.int32)
+        for stage, n_steps in zip(range(model.n_q), decoding_steps):
+            span = model.span_len if chunk_masking else 1
+            n_scored = T // span
+            n_prompt_scored = prompt_length // span
+            num_to_gen = n_scored - n_prompt_scored
+            scores0 = jnp.asarray(np.concatenate([
+                np.full((B, n_prompt_scored), DONT_REMASK_ME_SCORE,
+                        np.float32),
+                np.zeros((B, n_scored - n_prompt_scored), np.float32)],
+                axis=1))
+            timesteps = np.linspace(0, 1, n_steps)
+            mask_ps = np.cos(timesteps * np.pi * 0.5)
+            num_masked = np.maximum((mask_ps * num_to_gen).astype(np.int32),
+                                    1)
+            cfg_coefs = (mask_ps * max_cfg_coef
+                         + (1 - mask_ps) * min_cfg_coef).astype(np.float32)
+            steps_left = np.arange(n_steps - 1, -1, -1)
+            temps = (temp * steps_left / n_steps if anneal_temp
+                     else np.full(n_steps, temp)).astype(np.float32)
+            fwd = _magnet_stage_scan(
+                model, stage, T, B, has_cfg, use_sampling, top_k, top_p,
+                chunk_masking, span_scoring, prompt_length, n_steps,
+                cond_struct)
+            rng, r = jax.random.split(rng)
+            gen_seq_dev = fwd(params, gen_seq_dev, scores0,
+                              condition_tensors, prompt_dev, r,
+                              jnp.asarray(num_masked),
+                              jnp.asarray(cfg_coefs), jnp.asarray(temps))
+            if callback is not None:
+                curr_step += n_steps
+                callback(curr_step, total_steps)
+        return gen_seq_dev
 
     for stage, n_steps in zip(range(model.n_q), decoding_steps):
         stage_gen_seq = np.full((B, T), mask_id, dtype=np.int32)

@@ -382,7 +382,7 @@ def bench_magnet():
         compression_model_framerate=FRAME_RATE, dtype=jnp.bfloat16)
     params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    MB = 16
+    MB = 32  # throughput saturates here (16: 19.6, 32: 21.2, 64: 20.2)
     cond = (jax.random.normal(jax.random.PRNGKey(3), (2 * MB, 12, 1024),
                               jnp.bfloat16),
             jnp.ones((2 * MB, 12), jnp.int32))
