@@ -227,6 +227,15 @@ def t5_parity(rows):
                  f"({tail})"))
 
 
+def _pytest_row(rows, label, path, detail=""):
+    import subprocess
+    rc = subprocess.run([sys.executable, "-m", "pytest", "-q", str(REPO / path)],
+                        capture_output=True, text=True, cwd=REPO)
+    tail = rc.stdout.strip().splitlines()[-1] if rc.stdout else ""
+    verdict = "**PASS**" if rc.returncode == 0 else "**FAIL**"
+    rows.append((label, f"pytest {path}: {verdict}{detail} ({tail})"))
+
+
 def main():
     rows = []
     t0 = time.time()
@@ -236,6 +245,21 @@ def main():
     audioseal_parity(rows)
     lm_parity(rows)
     t5_parity(rows)
+    _pytest_row(rows, "HTDemucs (stem separation, full hybrid net vs "
+                "demucs-layout torch mirror)",
+                "tests/parity/test_demucs_parity.py",
+                " (forward allclose <2e-4 incl. cac STFT/iSTFT plumbing)")
+    _pytest_row(rows, "MERT/HuBERT encoder (style features) vs "
+                "transformers.HubertModel",
+                "tests/parity/test_mert_parity.py",
+                " (<2e-4, torch + safetensors loaders)")
+    _pytest_row(rows, "StyleConditioner eval path (embeds -> transformer -> "
+                "BN running stats -> RVQ eval_q -> proj) vs reference torch "
+                "modules + LM-package conditioner-weight conversion",
+                "tests/parity/test_style_conditioner_parity.py", " (<2e-3)")
+    _pytest_row(rows, "torch.stft / torch.istft (matmul-DFT, normalized "
+                "scaling, overlap-add inverse)",
+                "tests/ops/test_stft_torch_parity.py", " (<5e-5)")
 
     buf = io.StringIO()
     buf.write("# PARITY — measured agreement vs the reference torch "
