@@ -175,7 +175,7 @@ def bench_encodec_rtf():
     return round(audio / enc_dt, 1), round(audio / dec_dt, 1)
 
 
-def bench_audiogen(scale="medium", AG_B=64, n_iters=3):
+def bench_audiogen(scale="medium", AG_B=128, n_iters=3):
     """audiogen-medium text-to-sound: 5s @16kHz AR generation with CFG
     (BASELINE.json config #3). Medium LM shape (dim 1536 / 48 layers / 24
     heads, `config/model/lm/model_scale/medium.yaml`) over the 16kHz EnCodec
@@ -226,7 +226,7 @@ def bench_audiogen(scale="medium", AG_B=64, n_iters=3):
     return round(AG_B * AG_DUR / dt, 1)
 
 
-def bench_melody(scale="small", MEL_B=64, n_iters=3):
+def bench_melody(scale="small", MEL_B=128, n_iters=3):
     """musicgen-melody path: chromagram-conditioned continuation of the
     reference's bolero_ravel.mp3 (BASELINE.json config #4), small LM scale.
 
