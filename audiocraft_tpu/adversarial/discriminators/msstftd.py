@@ -45,8 +45,12 @@ class DiscriminatorSTFT(nn.Module):
     def __call__(self, x: jax.Array) -> tp.Tuple[jax.Array, tp.List[jax.Array]]:
         """x: audio [B, C, T] -> (logits [B, Ht, Wf, out], fmaps)."""
         B, C, T = x.shape
+        # reference uses torchaudio Spectrogram(normalized=True) -> the
+        # "window" L2 normalization, not torch.stft's frame_length**-0.5
         s = stft(x.reshape(B * C, T), self.n_fft, self.hop_length,
-                 self.win_length, center=False, normalized=self.normalized)
+                 self.win_length, center=False,
+                 normalized="window" if self.normalized is True
+                 else self.normalized)
         # [B*C, bins, frames] complex -> [B, frames, bins, 2C] (NHWC)
         s = s.reshape(B, C, s.shape[-2], s.shape[-1])
         z = jnp.concatenate([jnp.real(s), jnp.imag(s)], axis=1)  # [B, 2C, W, T]

@@ -722,11 +722,13 @@ class ChromaStemConditioner(WaveformConditioner):
                 else:
                     sr_row = (x.sample_rate[idx] if idx < len(x.sample_rate)
                               and x.sample_rate[idx] else self.sample_rate)
-                    wav = jnp.asarray(
-                        self._separate(np.asarray(x.wav[idx:idx + 1],
-                                                  np.float32), sr_row),
-                        jnp.float32)
-                    c = np.asarray(self._chroma()(wav))[0]
+                    wav = self._separate(np.asarray(x.wav[idx:idx + 1],
+                                                    np.float32), sr_row)
+                    if sr_row != self.sample_rate:
+                        from ..data.audio_utils import convert_audio
+                        wav = np.asarray(convert_audio(
+                            wav, sr_row, self.sample_rate, 1))
+                    c = np.asarray(self._chroma()(jnp.asarray(wav)))[0]
                     c = c[:n_frames]
                     if c.shape[0] < n_frames:
                         c = np.pad(c, ((0, n_frames - c.shape[0]), (0, 0)))
@@ -735,28 +737,42 @@ class ChromaStemConditioner(WaveformConditioner):
                 "length": np.asarray(x.length)}
 
     def _tokenize_separated(self, x: WavCondition) -> tp.Any:
-        """Host-side stem separation + chroma for every row; returns the
-        same precomputed-chroma dict the embedding cache produces so the
-        traced conditioner program stays identical either way."""
+        """Host-side stem separation + chroma; returns the same
+        precomputed-chroma dict the embedding cache produces so the traced
+        conditioner program stays identical either way. Rows sharing a
+        sample rate separate in ONE batched demucs pass (per-row passes
+        would rerun the whole network per row)."""
+        from ..data.audio_utils import convert_audio
         sr0 = (x.sample_rate[0] if x.sample_rate and x.sample_rate[0]
                else self.sample_rate)
         seg_samples = int(x.wav.shape[-1] * self.sample_rate / sr0)
         n_frames = 1 + seg_samples // self._winhop
-        rows = []
-        for idx in range(x.wav.shape[0]):
-            if int(np.asarray(x.length[idx])) <= 1:
-                rows.append(np.zeros((n_frames, self.n_chroma), np.float32))
-                continue
-            sr_row = (x.sample_rate[idx] if idx < len(x.sample_rate)
-                      and x.sample_rate[idx] else self.sample_rate)
-            mel = self._separate(np.asarray(x.wav[idx:idx + 1], np.float32),
-                                 sr_row)
-            c = np.asarray(self._chroma()(jnp.asarray(mel)))[0][:n_frames]
-            if c.shape[0] < n_frames:
-                c = np.pad(c, ((0, n_frames - c.shape[0]), (0, 0)))
-            rows.append(c.astype(np.float32))
-        return {"chroma": np.stack(rows).astype(np.float32),
-                "length": np.asarray(x.length)}
+        B = x.wav.shape[0]
+
+        def row_sr(idx):
+            return (x.sample_rate[idx] if idx < len(x.sample_rate)
+                    and x.sample_rate[idx] else self.sample_rate)
+
+        live = [i for i in range(B) if int(np.asarray(x.length[i])) > 1]
+        rows: tp.Dict[int, np.ndarray] = {}
+        by_sr: tp.Dict[int, tp.List[int]] = {}
+        for i in live:
+            by_sr.setdefault(int(row_sr(i)), []).append(i)
+        for sr, idxs in by_sr.items():
+            wavs = np.asarray(x.wav, np.float32)[idxs]
+            mel = self._separate(wavs, sr)              # [n, 1, T'] @ sr
+            if sr != self.sample_rate:
+                mel = np.asarray(convert_audio(mel, sr, self.sample_rate, 1))
+            cs = np.asarray(self._chroma()(jnp.asarray(mel)))
+            for j, i in enumerate(idxs):
+                c = cs[j][:n_frames]
+                if c.shape[0] < n_frames:
+                    c = np.pad(c, ((0, n_frames - c.shape[0]), (0, 0)))
+                rows[i] = c.astype(np.float32)
+        out = np.zeros((B, n_frames, self.n_chroma), np.float32)
+        for i, c in rows.items():
+            out[i] = c
+        return {"chroma": out, "length": np.asarray(x.length)}
 
     def _get_wav_embedding(self, x: WavCondition) -> jax.Array:
         """wav -> chroma [B, T_chroma, n_chroma] (`conditioners.py:700-740`)."""
@@ -876,7 +892,8 @@ class FeatureExtractor(WaveformConditioner):
         sr = (x.sample_rate[0] if x.sample_rate and x.sample_rate[0]
               else self.sample_rate)
         wav24 = convert_audio(excerpt, sr, model.sample_rate, 1)[:, 0]
-        embeds = model.apply(variables, wav24)
+        from .mert import jitted_mert_apply
+        embeds = jitted_mert_apply(model)(variables, wav24)
         return {"mert": np.asarray(embeds, np.float32), "valid": valid}
 
     def _feat_embeds(self, tokenized, dim: int) -> jax.Array:

@@ -492,6 +492,21 @@ class HTDemucs(nn.Module):
 
 # -------------------------------------------------------------- inference
 
+_JIT_APPLY: tp.Dict[int, tp.Any] = {}
+
+
+def _jitted_apply(model: HTDemucs):
+    """One cached jit wrapper per model instance: a fresh `jax.jit` per
+    call would retrace (and recompile on cold caches) the whole network."""
+    fn = _JIT_APPLY.get(id(model))
+    if fn is None:
+        if len(_JIT_APPLY) > 8:
+            _JIT_APPLY.clear()
+        fn = jax.jit(model.apply)
+        _JIT_APPLY[id(model)] = fn
+    return fn
+
+
 def apply_demucs(model: HTDemucs, params, mix: np.ndarray,
                  overlap: float = 0.25,
                  jit: bool = True) -> np.ndarray:
@@ -506,7 +521,7 @@ def apply_demucs(model: HTDemucs, params, mix: np.ndarray,
     B, C, T = mix.shape
     segment = int(model.samplerate * model.segment)
     stride = int((1 - overlap) * segment)
-    fwd = jax.jit(model.apply) if jit else model.apply
+    fwd = _jitted_apply(model) if jit else model.apply
 
     weight = np.concatenate([np.arange(1, segment // 2 + 1),
                              np.arange(segment - segment // 2, 0, -1)])

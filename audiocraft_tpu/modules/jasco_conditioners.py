@@ -118,10 +118,14 @@ class DrumsConditioner(WaveformConditioner):
             return {"latents": np.zeros(
                 (B, self.seq_len, self.compression_model_latent_dim),
                 np.float32), "valid": valid}
-        sr = (x.sample_rate[0] if x.sample_rate and x.sample_rate[0]
-              else self.sample_rate)
+        srs = [s for s in (x.sample_rate or []) if s]
+        assert all(s == srs[0] for s in srs), (
+            "All sample rates in a drums batch must be equal "
+            f"(`ref jasco_conditioners.py:195`), got {srs}")
+        sr = srs[0] if srs else self.sample_rate
         drums = self._drums_stem(wav, sr)
-        if sr != self.sample_rate:
+        if sr != self.sample_rate or drums.shape[1] != 1:
+            # no-separator passthrough may still be multichannel
             from ..data.audio_utils import convert_audio
             drums = np.asarray(convert_audio(drums, sr, self.sample_rate, 1))
         codes, _ = model.encode(variables, jnp.asarray(drums))
@@ -199,9 +203,13 @@ class JascoConditioningProvider:
                     wavs[attribute].append(wav_cond)
         for attribute, conds in wavs.items():
             T = max(int(c.wav.shape[-1]) for c in conds)
+            CH = max(int(c.wav.shape[-2]) for c in conds)
             rows, lengths, srs, paths = [], [], [], []
             for c in conds:
                 w = np.asarray(c.wav, np.float32)
+                if w.shape[-2] != CH:  # mono rows upmix to the batch layout
+                    from ..data.audio_utils import convert_audio_channels
+                    w = np.asarray(convert_audio_channels(w, CH))
                 if w.shape[-1] < T:
                     w = np.pad(w, ((0, 0),) * (w.ndim - 1)
                                + ((0, T - w.shape[-1]),))

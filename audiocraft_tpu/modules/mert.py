@@ -147,3 +147,18 @@ def get_mert() -> tp.Optional[tp.Tuple[MERTModel, tp.Any]]:
         from ..utils.torch_port import load_mert_from_path
         _MERT_CACHE[path] = load_mert_from_path(path)
     return _MERT_CACHE[path]
+
+
+_JIT_APPLY: tp.Dict[int, tp.Any] = {}
+
+
+def jitted_mert_apply(model: MERTModel):
+    """Cached jit of model.apply per model instance — the 12-layer forward
+    dispatched eagerly per-op is pathologically slow on this platform."""
+    fn = _JIT_APPLY.get(id(model))
+    if fn is None:
+        if len(_JIT_APPLY) > 8:
+            _JIT_APPLY.clear()
+        fn = jax.jit(model.apply)
+        _JIT_APPLY[id(model)] = fn
+    return fn

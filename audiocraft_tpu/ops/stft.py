@@ -44,11 +44,29 @@ def _dft_matrices(n_fft: int) -> tp.Tuple[np.ndarray, np.ndarray]:
 _MATMUL_DFT_MAX_NFFT = 4096
 
 
+def _norm_factor(normalized, n_fft: int, window: jax.Array):
+    """STFT normalization divisor. torch.stft(normalized=True) divides by
+    frame_length**0.5; torchaudio's Spectrogram(normalized=True) divides by
+    the window L2 norm ("window" mode). Callers mirroring torchaudio modules
+    (MS-STFT discriminator, mel wrappers, chroma) must pass "window"."""
+    if normalized is False or normalized is None:
+        return None
+    if normalized is True or normalized == "frame_length":
+        return jnp.sqrt(jnp.asarray(n_fft, jnp.float32))
+    if normalized == "window":
+        return jnp.sqrt(jnp.sum(jnp.square(window)))
+    raise ValueError(f"unknown normalized mode: {normalized!r}")
+
+
 def stft(x: jax.Array, n_fft: int, hop_length: int,
          win_length: tp.Optional[int] = None,
          window: tp.Optional[jax.Array] = None, center: bool = True,
-         pad_mode: str = "reflect", normalized: bool = False) -> jax.Array:
-    """torch.stft-compatible. x [..., T] -> complex [..., n_fft//2+1, frames]."""
+         pad_mode: str = "reflect",
+         normalized: tp.Union[bool, str] = False) -> jax.Array:
+    """torch.stft-compatible. x [..., T] -> complex [..., n_fft//2+1, frames].
+
+    normalized: False | True ("frame_length", torch.stft semantics) |
+    "window" (torchaudio Spectrogram semantics)."""
     win_length = win_length or n_fft
     if window is None:
         window = hann_window(win_length)
@@ -68,10 +86,9 @@ def stft(x: jax.Array, n_fft: int, hop_length: int,
         spec = jax.lax.complex(re, im)             # [..., F, n_fft//2+1]
     else:
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    if normalized:
-        # torch.stft multiplies by frame_length**-0.5 (the FFT size after
-        # window padding), NOT by the window L2 norm
-        spec = spec / jnp.sqrt(jnp.asarray(n_fft, spec.real.dtype))
+    factor = _norm_factor(normalized, n_fft, window)
+    if factor is not None:
+        spec = spec / factor.astype(spec.real.dtype)
     return jnp.swapaxes(spec, -1, -2)              # [..., bins, F]
 
 
@@ -93,21 +110,26 @@ def istft(z: jax.Array, n_fft: int, hop_length: int,
         pad = (n_fft - win_length) // 2
         window = jnp.pad(window, (pad, n_fft - win_length - pad))
     spec = jnp.swapaxes(z, -1, -2)                   # [..., frames, bins]
-    if normalized:
-        spec = spec * jnp.sqrt(jnp.asarray(n_fft, jnp.float32))
-    # inverse rDFT: x_n = (1/N) * sum_k w_k * (re_k cos + im_k sin), with
-    # w_k = 1 for DC/nyquist and 2 for the mirrored interior bins
-    bins = n_fft // 2 + 1
-    cos_m, sin_m = _dft_matrices(n_fft)              # [n_fft, bins]
-    w = np.full((bins,), 2.0, np.float32)
-    w[0] = 1.0
-    if n_fft % 2 == 0:
-        w[-1] = 1.0
-    re = jnp.real(spec) * w
-    im = jnp.imag(spec) * w
-    # note _dft_matrices' sin is already negated (forward basis), so the
-    # inverse x_n = (1/N)(re@cos^T - im@sin^T) becomes re@cos_m^T + im@sin_m^T
-    frames = (re @ jnp.asarray(cos_m.T) + im @ jnp.asarray(sin_m.T)) / n_fft
+    factor = _norm_factor(normalized, n_fft, window)
+    if factor is not None:
+        spec = spec * factor
+    if n_fft <= _MATMUL_DFT_MAX_NFFT:
+        # inverse rDFT: x_n = (1/N) * sum_k w_k * (re_k cos + im_k sin),
+        # with w_k = 1 for DC/nyquist and 2 for the mirrored interior bins
+        bins = n_fft // 2 + 1
+        cos_m, sin_m = _dft_matrices(n_fft)          # [n_fft, bins]
+        w = np.full((bins,), 2.0, np.float32)
+        w[0] = 1.0
+        if n_fft % 2 == 0:
+            w[-1] = 1.0
+        re = jnp.real(spec) * w
+        im = jnp.imag(spec) * w
+        # _dft_matrices' sin is already negated (forward basis), so the
+        # inverse (1/N)(re@cos^T - im@sin^T) becomes re@cos_m^T + im@sin_m^T
+        frames = (re @ jnp.asarray(cos_m.T)
+                  + im @ jnp.asarray(sin_m.T)) / n_fft
+    else:  # same FFT fallback rationale as `stft`
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)
     frames = frames * window                         # [..., F, n_fft]
     F = frames.shape[-2]
     T_full = n_fft + (F - 1) * hop_length
@@ -135,8 +157,13 @@ def istft(z: jax.Array, n_fft: int, hop_length: int,
 
 def spectrogram(x: jax.Array, n_fft: int, hop_length: int,
                 win_length: tp.Optional[int] = None, power: float = 2.0,
-                center: bool = True, normalized: bool = False,
+                center: bool = True,
+                normalized: tp.Union[bool, str] = False,
                 pad_mode: str = "reflect") -> jax.Array:
+    """torchaudio.transforms.Spectrogram-compatible: normalized=True means
+    window-L2 normalization there (unlike torch.stft)."""
+    if normalized is True:
+        normalized = "window"
     s = stft(x, n_fft, hop_length, win_length, center=center,
              normalized=normalized, pad_mode=pad_mode)
     mag2 = jnp.real(s) ** 2 + jnp.imag(s) ** 2

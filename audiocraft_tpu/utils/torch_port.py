@@ -1099,10 +1099,17 @@ def load_htdemucs_from_path(path):
            for k, v in state.items()}
     cfg = infer_htdemucs_config(src)
     fields = dict(cfg)
-    for key in ("sources", "samplerate", "segment"):
-        if key in kwargs:
-            fields[key] = (tuple(kwargs[key]) if key == "sources"
-                           else kwargs[key])
+    # head count / ffn scale / freq-emb weight are invisible to shapes —
+    # read them from the demucs payload kwargs when present so non-default
+    # checkpoints don't silently load with wrong attention partitioning
+    kw_map = {"sources": "sources", "samplerate": "samplerate",
+              "segment": "segment", "t_heads": "t_heads",
+              "t_hidden_scale": "t_hidden_scale", "freq_emb":
+              "freq_emb_weight", "emb_scale": "emb_scale"}
+    for theirs, ours in kw_map.items():
+        if theirs in kwargs:
+            val = kwargs[theirs]
+            fields[ours] = tuple(val) if theirs == "sources" else val
     model = HTDemucs(**fields)
     return model, convert_htdemucs(src)
 

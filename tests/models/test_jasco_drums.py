@@ -152,3 +152,23 @@ def test_jasco_get_pretrained_wiring(monkeypatch):
     model = jasco_mod.JASCO.get_pretrained("facebook/jasco-chords-drums-400M")
     assert model.latent_mean == 1.5 and model.latent_std == 2.0
     assert model.compression_model is codec
+
+
+def test_provider_mixes_channel_counts():
+    """Mono null rows batch with stereo stems (channels harmonized before
+    concatenation)."""
+    codec, codec_vars = get_debug_compression_model(SR)
+    cond = _make_drums_conditioner(codec, codec_vars)
+    provider = JascoConditioningProvider(
+        {"self_wav": cond}, sequence_length=10)
+    stereo = np.random.RandomState(4).randn(1, 2, SR // 2).astype(np.float32)
+    attrs = [
+        ConditioningAttributes(wav={"self_wav": WavCondition(
+            stereo, np.array([SR // 2]), sample_rate=[SR], path=[None])}),
+        ConditioningAttributes(wav={"self_wav": WavCondition(
+            np.zeros((1, 1, 1), np.float32), np.array([0]),
+            sample_rate=[SR], path=[None])}),
+    ]
+    tok = provider.tokenize(attrs)
+    assert tok["self_wav"]["latents"].shape == (2, 10, 32)
+    assert tok["self_wav"]["valid"].reshape(-1).tolist() == [1.0, 0.0]

@@ -47,3 +47,18 @@ def test_istft_matches_torch_and_roundtrips(n_fft, hop, wl, norm):
     assert np.abs(out - ref).max() < 1e-5
     # exact reconstruction through our own round trip
     assert np.abs(out - x).max() < 1e-4
+
+
+def test_window_normalization_mode():
+    """normalized="window" divides by the window L2 norm — torchaudio's
+    Spectrogram(normalized=True) semantics, used by the MS-STFT
+    discriminator / mel wrappers / chroma; distinct from torch.stft."""
+    n_fft, hop = 1024, 256
+    x = np.random.RandomState(3).randn(1, 8192).astype(np.float32)
+    base = torch.stft(torch.from_numpy(x), n_fft, hop,
+                      window=torch.hann_window(n_fft), normalized=False,
+                      center=True, pad_mode="reflect",
+                      return_complex=True).numpy()
+    ref = base / np.sqrt((torch.hann_window(n_fft).numpy() ** 2).sum())
+    out = np.asarray(stft(jnp.asarray(x), n_fft, hop, normalized="window"))
+    assert np.abs(out - ref).max() < 5e-6
