@@ -406,7 +406,7 @@ def bench_magnet():
 # remaining secondaries when the budget is spent so the headline JSON always
 # prints within the driver's window.
 BENCH_BUDGET_SEC = float(__import__("os").environ.get(
-    "AUDIOCRAFT_BENCH_BUDGET_SEC", 1200))
+    "AUDIOCRAFT_BENCH_BUDGET_SEC", 2000))
 
 
 def main():
