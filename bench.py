@@ -162,7 +162,7 @@ def bench_encodec_rtf():
                                                  kmeans_init=False),
                          frame_rate=FRAME_RATE, sample_rate=SR, channels=1)
     variables = model.init(jax.random.PRNGKey(0))
-    EB = 16
+    EB = 64  # conv throughput scales with batch (16: ~2.9k, 64: ~5.8k RTF)
     x = jax.random.normal(jax.random.PRNGKey(1), (EB, 1, SR * 10),
                           jnp.float32) * 0.1
     encode = jax.jit(lambda v, a: model.encode(v, a)[0])
