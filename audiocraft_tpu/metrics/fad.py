@@ -22,15 +22,34 @@ logger = logging.getLogger(__name__)
 
 
 def frechet_distance(mu_x: np.ndarray, sigma_x: np.ndarray,
-                     mu_y: np.ndarray, sigma_y: np.ndarray) -> float:
-    """FD between two Gaussians: |mu_x-mu_y|^2 + Tr(Sx + Sy - 2(Sx Sy)^0.5)."""
+                     mu_y: np.ndarray, sigma_y: np.ndarray,
+                     eps: float = 1e-6) -> float:
+    """FD between two Gaussians: |mu_x-mu_y|^2 + Tr(Sx + Sy - 2(Sx Sy)^0.5).
+
+    With few samples the covariances are rank-deficient and ``sqrtm`` of
+    their product is numerically singular; the standard fix (as in the
+    canonical FID implementation) is to retry with ``eps*I`` added to both
+    covariance diagonals, which keeps the result finite and deterministic.
+    """
+    import warnings
     from scipy import linalg
     diff = mu_x - mu_y
-    covmean, _ = linalg.sqrtm(sigma_x @ sigma_y, disp=False)
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", category=DeprecationWarning)
+        warnings.filterwarnings("error", category=linalg.LinAlgWarning)
+        try:
+            covmean, _ = linalg.sqrtm(sigma_x @ sigma_y, disp=False)
+            if not np.all(np.isfinite(covmean)):
+                raise linalg.LinAlgWarning("non-finite sqrtm")
+        except (linalg.LinAlgWarning, linalg.LinAlgError):
+            offset = eps * np.eye(sigma_x.shape[0])
+            covmean, _ = linalg.sqrtm(
+                (sigma_x + offset) @ (sigma_y + offset), disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
-    return float(diff @ diff + np.trace(sigma_x) + np.trace(sigma_y)
-                 - 2 * np.trace(covmean))
+    fd = float(diff @ diff + np.trace(sigma_x) + np.trace(sigma_y)
+               - 2 * np.trace(covmean))
+    return max(fd, 0.0)  # clamp numerical epsilon-negatives; FD >= 0
 
 
 def logmel_embeddings(wav: np.ndarray, sample_rate: int,

@@ -106,3 +106,23 @@ def test_fad_falls_back_without_checkpoint(monkeypatch):
     monkeypatch.delenv("AUDIOCRAFT_CACHE_DIR", raising=False)
     metric = FrechetAudioDistanceMetric()
     assert metric.embed_kind == "logmel-fallback"
+
+
+def test_frechet_distance_rank_deficient_is_finite_and_quiet():
+    """Few samples -> singular covariances; the eps*I retry must keep the
+    result finite without emitting scipy LinAlgWarning (`fad.py`)."""
+    import warnings
+    from audiocraft_tpu.metrics.fad import frechet_distance
+    rng = np.random.RandomState(0)
+    # 3 samples in 16-D: covariance rank <= 2, sqrtm of the product singular
+    x = rng.randn(3, 16)
+    y = rng.randn(3, 16) + 0.5
+    mu_x, mu_y = x.mean(0), y.mean(0)
+    cov_x = np.cov(x, rowvar=False)
+    cov_y = np.cov(y, rowvar=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        fd = frechet_distance(mu_x, cov_x, mu_y, cov_y)
+    assert np.isfinite(fd)
+    # deterministic across calls
+    assert fd == frechet_distance(mu_x, cov_x, mu_y, cov_y)
