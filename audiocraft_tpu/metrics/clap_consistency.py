@@ -30,13 +30,35 @@ class CLAPTextConsistencyMetric(TextConsistencyMetric):
                  model_arch: str = "HTSAT-tiny", enable_fusion: bool = False,
                  embed_audio_fn: tp.Optional[tp.Callable] = None,
                  embed_text_fn: tp.Optional[tp.Callable] = None):
+        assert not enable_fusion, "fusion CLAP variants are not supported"
+        if embed_audio_fn is None:
+            embed_audio_fn, embed_text_fn = \
+                self._probe_native_embedders(model_path)
         self.embed_audio_fn = embed_audio_fn
         self.embed_text_fn = embed_text_fn
         self.cosine_sum = 0.0
         self.weight = 0.0
         if embed_audio_fn is None:
-            logger.warning("CLAP weights unavailable (zero-egress); pass "
-                           "embed_audio_fn/embed_text_fn to enable the metric.")
+            logger.warning(
+                "No local CLAP checkpoint (set CLAP_CHECKPOINT or drop "
+                "clap.pt in AUDIOCRAFT_CACHE_DIR); pass embed_audio_fn/"
+                "embed_text_fn to enable the metric.")
+
+    @staticmethod
+    def _probe_native_embedders(model_path: tp.Optional[str]
+                                ) -> tp.Tuple[tp.Optional[tp.Callable],
+                                              tp.Optional[tp.Callable]]:
+        """Build the native CLAP embedders from a local checkpoint, if any
+        (`modules/clap.py` — the JAX HTSAT + text-tower port)."""
+        from pathlib import Path
+        from ..modules.clap import CLAPEmbedder, find_clap_checkpoint
+        ckpt = Path(model_path) if model_path and Path(model_path).exists() \
+            else find_clap_checkpoint()
+        if ckpt is None:
+            return None, None
+        logger.info("CLAP text consistency using checkpoint %s", ckpt)
+        emb = CLAPEmbedder.from_checkpoint(ckpt)
+        return emb.embed_audio, emb.embed_text
 
     def update(self, audio: np.ndarray, text: tp.List[str], sizes, sample_rates):
         if self.embed_audio_fn is None or self.embed_text_fn is None:

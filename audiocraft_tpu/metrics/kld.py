@@ -61,20 +61,40 @@ class KLDivergenceMetric:
 class PasstKLDivergenceMetric(KLDivergenceMetric):
     """PaSST-classifier KLD (`kld.py:116-180`).
 
-    The PaSST checkpoint cannot be fetched in this environment; provide a
-    `classifier_fn(wav [B, C, T], sr) -> [B, 527]` to use this metric, or it
-    raises with a clear message.
+    Uses the native JAX PaSST port (`metrics/passt.py`) when a local
+    checkpoint is available ($PASST_CHECKPOINT or the cache dir — the
+    weights cannot be downloaded in a zero-egress environment), else accepts
+    an explicit `classifier_fn(wav [B, C, T], sr) -> [B, 527]`.
     """
 
     def __init__(self, pretrained_length: tp.Optional[float] = None,
                  classifier_fn: tp.Optional[tp.Callable] = None):
         super().__init__()
         self.pretrained_length = pretrained_length
+        if classifier_fn is None:
+            classifier_fn = self._probe_native_classifier(pretrained_length)
         self.classifier_fn = classifier_fn
         if classifier_fn is None:
             logger.warning(
-                "PaSST weights unavailable (zero-egress); pass classifier_fn "
-                "to enable PasstKLDivergenceMetric.")
+                "No local PaSST checkpoint (set PASST_CHECKPOINT or drop "
+                "passt.pt in AUDIOCRAFT_CACHE_DIR); pass classifier_fn to "
+                "enable PasstKLDivergenceMetric.")
+
+    @staticmethod
+    def _probe_native_classifier(pretrained_length: tp.Optional[float]
+                                 ) -> tp.Optional[tp.Callable]:
+        """Build the native PaSST classifier from a local checkpoint, if any
+        (mirrors `ref kld.py:146-171` model selection by pretrained length)."""
+        from .passt import (PasstClassifier, find_passt_checkpoint,
+                            load_passt_params)
+        ckpt = find_passt_checkpoint()
+        if ckpt is None:
+            return None
+        max_duration = pretrained_length if pretrained_length in (20, 30) \
+            else 10.0
+        logger.info("KLD using native PaSST classifier from %s", ckpt)
+        return PasstClassifier(load_passt_params(ckpt),
+                               max_duration=float(max_duration))
 
     def _get_label_distribution(self, x, sizes, sample_rates):
         if self.classifier_fn is None:

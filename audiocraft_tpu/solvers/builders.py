@@ -172,3 +172,62 @@ def get_audio_datasets(cfg: dict,
                                         shuffle=False, num_workers=num_workers,
                                         seed=seed)
     return dataloaders
+
+
+# ------------------------------------------------- evaluation metric builders
+
+def get_fad(cfg: dict):
+    """Instantiate the FAD metric (`ref builders.py:262-267`).
+
+    `model` picks the embedding backend: "vggish" (native JAX port, default)
+    or "tf" (Google FAD subprocess). Always constructible — without a local
+    VGGish checkpoint it degrades to the labeled log-mel fallback
+    (check `.embed_kind` for the metric name to log under)."""
+    from .. import metrics
+    model = cfg.get("model", "vggish")
+    sub = dict(cfg.get(model) or {})
+    sub.pop("bin", None)
+    return metrics.FrechetAudioDistanceMetric(
+        model_path=sub.get("model_path"))
+
+
+def get_kldiv(cfg: dict):
+    """Instantiate the KLD metric (`ref builders.py:270-277`), or None when
+    its classifier has no local checkpoint (per-metric availability
+    probing — the solver logs the precise gap instead of failing)."""
+    from .. import metrics
+    model = cfg.get("model", "passt")
+    assert model == "passt", f"unsupported kld model: {model}"
+    sub = dict(cfg.get(model) or {})
+    metric = metrics.PasstKLDivergenceMetric(
+        pretrained_length=sub.get("pretrained_length"))
+    return metric if metric.classifier_fn is not None else None
+
+
+def get_text_consistency(cfg: dict):
+    """Instantiate the CLAP text-consistency metric
+    (`ref builders.py:280-287`), or None when no local CLAP checkpoint or
+    injected embedders are available."""
+    from .. import metrics
+    model = cfg.get("model", "clap")
+    assert model == "clap", f"unsupported text consistency model: {model}"
+    sub = dict(cfg.get(model) or {})
+    metric = metrics.CLAPTextConsistencyMetric(
+        model_path=sub.get("model_path"),
+        model_arch=sub.get("model_arch", "HTSAT-base"),
+        enable_fusion=bool(sub.get("enable_fusion", False)))
+    return metric if metric.embed_audio_fn is not None else None
+
+
+def get_chroma_cosine_similarity(cfg: dict):
+    """Instantiate the chroma cosine similarity metric
+    (`ref builders.py:290-294`)."""
+    from .. import metrics
+    assert cfg.get("model", "chroma_base") == "chroma_base", \
+        "Only 'chroma_base' supported for chroma cosine similarity"
+    sub = dict(cfg.get("chroma_base") or {})
+    return metrics.ChromaCosineSimilarityMetric(
+        sample_rate=int(sub.get("sample_rate") or 32000),
+        n_chroma=int(sub.get("n_chroma", 12)),
+        radix2_exp=int(sub.get("radix2_exp", 12)),
+        argmax=bool(sub.get("argmax", True)))
