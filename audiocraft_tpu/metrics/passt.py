@@ -249,7 +249,12 @@ class PasstClassifier:
     def __init__(self, params: dict, max_duration: float = 10.0,
                  min_duration: float = 0.15):
         self.params = params
-        self.max_frames = int(max_duration * SAMPLE_RATE)
+        # cap segments to the checkpoint's time-position capacity: with P
+        # time patches the conv (k16 s10) admits at most 10P+15 mel frames,
+        # i.e. (10P+14)*320+1 samples (mel frames(L) = 1 + (L-1)//320)
+        P = int(params["time_pos_embed"].shape[2])
+        self.max_frames = min(int(max_duration * SAMPLE_RATE),
+                              (10 * P + 14) * HOP_LENGTH + 1)
         self.min_frames = int(min_duration * SAMPLE_RATE)
         self._apply = jax.jit(passt_apply)
 

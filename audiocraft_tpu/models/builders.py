@@ -106,6 +106,8 @@ def get_conditioners(output_dim: int, cfg) -> tp.Dict[str, BaseConditioner]:
         model_args = dict(cond_cfg[model_type])
         if model_type == "t5":
             model_args.pop("device", None)
+            if "name" in model_args:  # flax reserves `name` (see T5Conditioner)
+                model_args["model_name"] = model_args.pop("name")
             conditioners[str(cond)] = T5Conditioner(output_dim=output_dim, **model_args)
         elif model_type == "lut":
             conditioners[str(cond)] = LUTConditioner(output_dim=output_dim, **model_args)

@@ -29,7 +29,7 @@ def musicgen_lm(scale: str = "small", n_q: int = 4, card: int = 2048,
     if conditioners is None:
         if use_t5:
             conditioners = {"description": T5Conditioner(
-                name="t5-base", dim=768, output_dim=dim, dtype=dtype)}
+                model_name="t5-base", dim=768, output_dim=dim, dtype=dtype)}
         else:
             conditioners = {"description": LUTConditioner(
                 n_bins=2048, dim=dim, output_dim=dim, tokenizer="whitespace",

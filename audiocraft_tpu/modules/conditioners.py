@@ -272,7 +272,10 @@ class T5Conditioner(TextConditioner):
     tokenizer is host-side via `transformers` (needs a local vocab; a
     hash-trick fallback keeps debug models hermetic).
     """
-    name: str = "t5-base"
+    # NB: called `name` in the reference config schema, but `name` is flax's
+    # reserved module-path attribute (a nested module would silently see
+    # "conditioners_description"); the builder maps the config key over.
+    model_name: str = "t5-base"
     finetune: bool = False
     word_dropout: float = 0.0
     normalize_text: bool = False
@@ -286,7 +289,7 @@ class T5Conditioner(TextConditioner):
     def _get_tokenizer(self):
         try:
             from transformers import T5Tokenizer  # host-side sentencepiece
-            return T5Tokenizer.from_pretrained(self.name)
+            return T5Tokenizer.from_pretrained(self.model_name)
         except Exception as e:  # zero-egress / no local vocab: fall back
             logger.warning("T5 tokenizer unavailable (%s); using hash fallback", e)
             return None
@@ -306,7 +309,7 @@ class T5Conditioner(TextConditioner):
     def __call__(self, inputs) -> ConditionType:
         from .t5 import T5EncoderConfig, T5Encoder
         tokens, mask = inputs
-        cfg = T5EncoderConfig.for_model(self.name)
+        cfg = T5EncoderConfig.for_model(self.model_name)
         embeds = T5Encoder(cfg, dtype=self.dtype, param_dtype=self.param_dtype,
                            name="t5")(jnp.asarray(tokens), jnp.asarray(mask))
         if not self.finetune:

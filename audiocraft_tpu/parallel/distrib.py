@@ -57,10 +57,29 @@ def barrier(name: str = "barrier"):
         multihost_utils.sync_global_devices(name)
 
 
-def average_metrics(metrics: tp.Dict[str, tp.Any], count: float = 1.0):
-    """Under SPMD each process computes metrics over the global batch, so the
-    average is already global (`solvers/base.py:556`). Kept for API parity."""
-    return {k: float(np.asarray(v)) for k, v in metrics.items()}
+def average_metrics(metrics: tp.Dict[str, tp.Any], count: float = 1.0
+                    ) -> tp.Dict[str, float]:
+    """Cross-process weighted mean of host-side metrics
+    (`flashy.distrib.average_metrics`, `ref solvers/base.py:556`).
+
+    jit-computed metrics over GSPMD-sharded batches are already global, but
+    the host-side evaluate/generate loops (chroma cosine, SI-SNR, ViSQOL,
+    PESQ, FAD/KLD/CLAP) each run over the process-local dataloader shard:
+    without this reduction every host would log different eval numbers and
+    `update_best_state` could pick different best epochs per host. The
+    reduction is a psum of (value*count, count) over one device per process
+    via `multihost_utils.process_allgather`; key order must match across
+    processes (it does: all hosts run the same metric code)."""
+    if not is_distributed():
+        return {k: float(np.asarray(v)) for k, v in metrics.items()}
+    from jax.experimental import multihost_utils
+    keys = sorted(metrics.keys())
+    local = np.asarray([float(np.asarray(metrics[k])) * count
+                        for k in keys] + [count], np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    total = gathered.sum(axis=0)
+    denom = max(total[-1], 1e-12)
+    return {k: float(total[i] / denom) for i, k in enumerate(keys)}
 
 
 def sync_model(params):

@@ -327,7 +327,9 @@ class CompressionSolver(SolverRunMixin):
         if self.cfg.get("evaluate", {}).get("metrics", {}).get("visqol"):
             logger.warning("ViSQOL is an external binary; skipping "
                            "(see docs/METRICS.md)")
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        from ..parallel import distrib
+        return distrib.average_metrics(
+            {k: v / max(count, 1) for k, v in totals.items()}, count)
 
     def generate(self) -> dict:
         """Store reconstructions next to their references

@@ -166,7 +166,8 @@ class JascoSolver(SolverRunMixin):
         metrics = {k: v / max(count, 1) for k, v in totals.items()}
         metrics["loss"] = float(np.mean(list(metrics.values()))) \
             if metrics else 0.0
-        return metrics
+        from ..parallel import distrib
+        return distrib.average_metrics(metrics, count)
 
     def generate(self) -> dict:
         """Generate latents via the ODE sampler and decode through the codec,

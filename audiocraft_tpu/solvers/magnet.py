@@ -219,7 +219,8 @@ class MagnetSolver(MusicGenSolver):
                 ce_sum += float(np.asarray(ce))
                 n += 1
         ce = ce_sum / max(n, 1)
-        return {"ce": ce, "ppl": float(np.exp(ce))}
+        from ..parallel import distrib
+        return distrib.average_metrics({"ce": ce, "ppl": float(np.exp(ce))}, n)
 
 
 class AudioMagnetSolver(MagnetSolver):

@@ -383,38 +383,106 @@ class MusicGenSolver(SolverRunMixin):
                 average[k] = average.get(k, 0.0) + float(np.asarray(v))
         metrics = {k: v / max(count, 1) for k, v in average.items()}
 
-        metrics_cfg = self.cfg.get("evaluate", {}).get("metrics", {})
-        gated = [k for k in ("fad", "kld", "text_consistency")
-                 if metrics_cfg.get(k)]
-        if gated:
-            logger.warning("generative metrics %s need local embedding-model "
-                           "checkpoints; skipping (see docs/METRICS.md)", gated)
-        if metrics_cfg.get("chroma_cosine"):
-            metrics.update(self._eval_chroma_cosine(loader))
-        return metrics
+        metrics.update(self.evaluate_audio_generation())
+        from ..parallel import distrib
+        return distrib.average_metrics(metrics, count)
 
-    def _eval_chroma_cosine(self, loader, max_batches: int = 2) -> dict:
-        """Self-contained melody-consistency eval: chroma cosine similarity
-        between generated audio and the ground truth (`musicgen.py:700-720`)."""
-        from ..metrics.chroma_cosinesim import ChromaCosineSimilarityMetric
+    def evaluate_audio_generation(self) -> dict:
+        """Off-the-shelf generative metrics over the evaluate split
+        (`ref solvers/musicgen.py:636-739`): generate audio per batch and
+        feed FAD / KLD / CLAP text consistency / chroma cosine.
+
+        Each metric is built with per-metric availability probing
+        (`solvers/builders.py`): a metric whose backing model has no local
+        checkpoint is skipped with a precise log line instead of failing the
+        stage. FAD degrades to the labeled `fad_logmel` fallback."""
+        from . import builders as solver_builders
+        metrics_cfg = (self.cfg.get("evaluate", {}) or {}).get("metrics", {})
+        m_cfg = self.cfg.get("metrics", {}) or {}
+        fad = kldiv = textcons = chroma = None
+        if metrics_cfg.get("fad"):
+            fad = solver_builders.get_fad(m_cfg.get("fad", {}) or {})
+        if metrics_cfg.get("kld"):
+            kldiv = solver_builders.get_kldiv(m_cfg.get("kld", {}) or {})
+            if kldiv is None:
+                logger.warning("kld requested but no local PaSST checkpoint "
+                               "(see docs/METRICS.md); skipping")
+        if metrics_cfg.get("text_consistency"):
+            textcons = solver_builders.get_text_consistency(
+                m_cfg.get("text_consistency", {}) or {})
+            if textcons is None:
+                logger.warning("text_consistency requested but no local CLAP "
+                               "checkpoint (see docs/METRICS.md); skipping")
+        if metrics_cfg.get("chroma_cosine"):
+            sub = dict(m_cfg.get("chroma_cosine", {}) or {})
+            sub.setdefault("chroma_base", {})
+            sub["chroma_base"].setdefault(
+                "sample_rate", self.compression_model.sample_rate)
+            chroma = solver_builders.get_chroma_cosine_similarity(sub)
+        if all(m is None for m in (fad, kldiv, textcons, chroma)):
+            return {}
+
+        loader = self.dataloaders.get("evaluate")
+        if loader is None:
+            return {}
         mg = self._gen_model()
         sr = self.compression_model.sample_rate
-        metric = ChromaCosineSimilarityMetric(sample_rate=sr, n_chroma=12,
-                                              radix2_exp=12, argmax=True)
+        max_batches = (self.cfg.get("evaluate", {}) or {}).get(
+            "max_generation_batches")
+
+        def compressed_gt(ref):
+            """use_gt path: ground truth through the codec
+            (`ref musicgen.py:665-668`)."""
+            codes, scale = self.compression_model.encode(
+                self.compression_variables, jnp.asarray(ref))
+            out = self.compression_model.decode(
+                self.compression_variables, codes, scale)
+            return np.asarray(out)[..., :ref.shape[-1]]
+
         for idx, (wav, infos) in enumerate(loader):
-            if idx >= max_batches:
+            if max_batches is not None and idx >= max_batches:
                 break
             descs = [getattr(i, "description", None) or "" for i in infos]
-            gen = np.asarray(mg.generate(descs, progress=False))
             ref = np.asarray(wav, np.float32)
+            gen = np.asarray(mg.generate(descs, progress=False))
             T = min(gen.shape[-1], ref.shape[-1])
-            sizes = np.full((gen.shape[0],), T)
-            metric.update(gen[..., :T], ref[..., :T], sizes,
-                          np.full((gen.shape[0],), sr))
+            gen, ref = gen[..., :T], ref[..., :T]
+            sizes = np.minimum(
+                np.asarray([getattr(i, "n_frames", T) for i in infos]), T)
+            srs = np.full((gen.shape[0],), sr)
+            if fad is not None:
+                y = compressed_gt(ref) if (m_cfg.get("fad", {}) or {}).get(
+                    "use_gt") else gen
+                fad.update(y, ref, sizes, srs)
+            if kldiv is not None:
+                y = compressed_gt(ref) if (m_cfg.get("kld", {}) or {}).get(
+                    "use_gt") else gen
+                kldiv.update(y, ref, sizes, srs)
+            if textcons is not None:
+                y = ref if (m_cfg.get("text_consistency", {}) or {}).get(
+                    "use_gt") else gen
+                textcons.update(y, descs, sizes, srs)
+            if chroma is not None:
+                y = compressed_gt(ref) if (m_cfg.get("chroma_cosine", {})
+                                           or {}).get("use_gt") else gen
+                chroma.update(y, ref, sizes, srs)
+
+        results: tp.Dict[str, float] = {}
         try:
-            return {"chroma_cosine": float(metric.compute())}
-        except AssertionError:
-            return {}
+            if fad is not None:
+                key = "fad" if fad.embed_kind != "logmel-fallback" \
+                    else "fad_logmel"
+                results[key] = float(fad.compute())
+            if kldiv is not None:
+                results.update({k: float(v)
+                                for k, v in kldiv.compute().items()})
+            if textcons is not None:
+                results["text_consistency"] = float(textcons.compute())
+            if chroma is not None:
+                results["chroma_cosine"] = float(chroma.compute())
+        except AssertionError as exc:  # e.g. empty evaluate split
+            logger.warning("generative metrics incomplete: %s", exc)
+        return results
 
     def generate(self) -> dict:
         """Sample generation stage with SampleManager storage

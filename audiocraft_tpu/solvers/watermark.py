@@ -256,7 +256,9 @@ class WatermarkSolver(SolverRunMixin):
             import logging
             logging.getLogger(__name__).warning(
                 "PESQ/STOI need external C extensions; skipping")
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        from ..parallel import distrib
+        return distrib.average_metrics(
+            {k: v / max(count, 1) for k, v in totals.items()}, count)
 
     def run_step(self, idx: int, batch, metrics: dict) -> dict:
         """`watermark.py:252-399`."""

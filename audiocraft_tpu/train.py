@@ -99,16 +99,27 @@ def main(argv: tp.Optional[tp.List[str]] = None):
 
     overrides = list(args.overrides)
     solver_name = None
+    groups = []  # hydra-style group overrides, e.g. dset=audio/example
     rest = []
+    from .config import CONFIG_ROOT, _deep_update
     for ov in overrides:
         if ov.startswith("solver="):
             solver_name = ov.split("=", 1)[1]
+            continue
+        key, _, value = ov.partition("=")
+        if ("." not in key and isinstance(value, str)
+                and (CONFIG_ROOT / key / f"{value}.yaml").exists()):
+            groups.append((key, value))
         else:
             rest.append(ov)
     assert solver_name is not None, "pass solver=<name>"
 
     cfg = load_config(f"solver/{solver_name}")
-    delta = apply_overrides(cfg, rest)
+    delta: tp.Dict[str, tp.Any] = {}
+    for group, name in groups:  # `dset=audio/example` composes the group yaml
+        _deep_update(cfg, load_config(f"{group}/{name}"))
+        delta[group] = name
+    delta.update(apply_overrides(cfg, rest))
     delta["solver"] = solver_name
     xp = XP(cfg, delta)
     xp.folder.mkdir(parents=True, exist_ok=True)

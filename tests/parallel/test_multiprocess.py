@@ -106,3 +106,27 @@ def test_sharded_checkpoint_tmp_done_protocol(tmp_path):
     """)
     outs = _run_two(script, tmp_path)
     assert all("OK" in o for o in outs), outs
+
+
+def test_average_metrics_cross_process(tmp_path):
+    """Host-side eval metrics must average across processes with batch-count
+    weights so every host logs identical numbers and best-state selection
+    agrees (`flashy.distrib.average_metrics`, `ref solvers/base.py:556`)."""
+    script = HEADER + textwrap.dedent("""
+        # rank 0 saw 3 batches averaging 1.0; rank 1 saw 1 batch of 5.0
+        local = {"sisnr": 1.0 if pid == 0 else 5.0, "rvm": 2.0 * (pid + 1)}
+        count = 3 if pid == 0 else 1
+        out = distrib.average_metrics(local, count)
+        expect_sisnr = (1.0 * 3 + 5.0 * 1) / 4
+        expect_rvm = (2.0 * 3 + 4.0 * 1) / 4
+        assert abs(out["sisnr"] - expect_sisnr) < 1e-9, out
+        assert abs(out["rvm"] - expect_rvm) < 1e-9, out
+        print(f"OK {pid} {out['sisnr']:.4f} {out['rvm']:.4f}")
+    """)
+    outs = _run_two(script, tmp_path)
+    assert all("OK" in o for o in outs), outs
+    # both processes report the identical averaged values (find the OK line;
+    # grpc teardown chatter may follow it)
+    vals = {ln.split(" ", 2)[-1] for o in outs
+            for ln in o.splitlines() if ln.startswith("OK ")}
+    assert len(vals) == 1, outs
