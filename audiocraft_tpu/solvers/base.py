@@ -363,6 +363,14 @@ class SolverRunMixin:
                                 self.epoch, idx + 1, speed, short)
         return {k: v / max(count, 1) for k, v in average.items()}
 
+    @property
+    def history(self) -> tp.List[tp.Dict[str, tp.Any]]:
+        """Per-epoch metric dicts, persisted in the checkpoint sidecar
+        (`ref base.py:122-146` puts history in the solver state_dict)."""
+        if not hasattr(self, "_history"):
+            self._history: tp.List[tp.Dict[str, tp.Any]] = []
+        return self._history
+
     def save_checkpoints(self):
         import jax as _jax
         if _jax.process_index() != 0:
@@ -371,7 +379,8 @@ class SolverRunMixin:
         checkpoint.save_checkpoint(self.state, path)
         import json
         with open(str(path) + ".json", "w") as f:
-            json.dump({"epoch": self.epoch}, f)
+            json.dump({"epoch": self.epoch,
+                       "history": jsonable(self.history)}, f)
         logger.info("Checkpoint saved to %s", path)
 
     def restore(self, continue_from: tp.Optional[str] = None) -> bool:
@@ -384,7 +393,10 @@ class SolverRunMixin:
         import json
         sidecar = Path(str(path) + ".json")
         if sidecar.exists():
-            self.epoch = json.loads(sidecar.read_text()).get("epoch", 1)
+            extra = json.loads(sidecar.read_text())
+            self.epoch = extra.get("epoch", 1)
+            if continue_from is None:
+                self._history = extra.get("history", [])
         logger.info("Restored from %s (epoch %d)", path, self.epoch)
         return True
 
@@ -426,6 +438,7 @@ class SolverRunMixin:
             for stage, stage_metrics in metrics.items():
                 self.writers.write_scalars(stage, stage_metrics, self.epoch)
             history.append(metrics)
+            self.history.append(jsonable(metrics))
             self.save_checkpoints()
             self.epoch += 1
         logger.info("Training done.")
