@@ -47,3 +47,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def constrain_batch(tree, mesh: tp.Optional[Mesh]):
+    """Pin every leaf of an activation pytree to batch sharding (dim 0 over
+    dp+fsdp, other dims replicated).
+
+    Used on conditioner outputs inside the sharded LM step: without the
+    explicit constraint, XLA's sharding propagation pulls the tp sharding of
+    the cross-attention projections backwards through the conditioner embed
+    gather and settles on an 'involuntary full rematerialization'
+    (spmd_partitioner warning, XLA b/433785288)."""
+    if mesh is None:
+        return tree
+    import jax.numpy as jnp
+
+    def pin(x):
+        x = jnp.asarray(x)
+        if x.ndim == 0:
+            return x
+        spec = P(*((("dp", "fsdp"),) + (None,) * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(pin, tree)

@@ -105,12 +105,18 @@ def make_compression_train_step(
         balancer: Balancer,
         optimizer: optax.GradientTransformation,
         disc_every: int = 1,
-        max_norm: float = 0.0):
+        max_norm: float = 0.0,
+        mesh=None):
     """Build the jitted EnCodec GAN step:
     step(state, x [B,C,T], rng) -> (new_state, metrics).
 
     `loss_weights` holds adv/feat/<aux> weights; weight-0 aux losses are
     computed as info metrics only (`solvers/builders.py:227-248`).
+
+    With `mesh`, the step is data-parallel over the mesh: batch sharded over
+    dp+fsdp, generator/discriminator state replicated (the codec is small —
+    dp-only, like the reference's `compression.py:40` FSDP refusal); XLA
+    inserts the gradient all-reduce.
     """
     balanced_names = ([f"adv_{n}" for n in adv_losses]
                       + [f"feat_{n}" for n in adv_losses]
@@ -205,6 +211,13 @@ def make_compression_train_step(
             adv_states=new_adv_states, balancer_state=new_bal_state)
         return new_state, metrics
 
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+        rep = replicated(mesh)
+        return jax.jit(step,
+                       in_shardings=(rep, batch_sharding(mesh), rep),
+                       out_shardings=(rep, rep),
+                       donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))
 
 

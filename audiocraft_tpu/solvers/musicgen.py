@@ -24,7 +24,7 @@ from ..models.lm import LMModel
 from ..modules.conditioners import (AttributeDropout,
                                     ClassifierFreeGuidanceDropout,
                                     ConditioningAttributes)
-from ..parallel.mesh import batch_sharding, replicated
+from ..parallel.mesh import batch_sharding, constrain_batch, replicated
 from ..parallel.sharding import infer_shardings
 
 logger = logging.getLogger(__name__)
@@ -101,6 +101,9 @@ def make_train_step(model: LMModel, optimizer: optax.GradientTransformation,
     def loss_fn(params, codes, tokenized, padding_mask, rng):
         condition_tensors = model.apply(params, tokenized,
                                         method=LMModel.compute_conditions)
+        # pin conditioner activations to batch sharding (see
+        # parallel/mesh.py:constrain_batch — kills an SPMD full-remat)
+        condition_tensors = constrain_batch(condition_tensors, mesh)
         out = model.apply(params, codes, condition_tensors,
                           method=LMModel.compute_predictions,
                           rngs={"dropout": rng}, deterministic=False)

@@ -4,10 +4,11 @@ Prints ONE JSON line:
   {"metric": "musicgen-small audio-sec/sec/chip", "value": N,
    "unit": "audio_sec_per_sec", "vs_baseline": N, "extra": {...}}
 
-Measures the full flagship inference path on real hardware: text
-conditioning tensors precomputed (the T5 encoder is <1% of a 10s decode),
-delay-pattern AR decode with CFG (batch-doubled) through the scan-compiled
-LM with an int8-quantized KV cache, and EnCodec SEANet decode to waveform,
+Measures the full flagship inference path on real hardware: native T5-base
+text encoding IN the timed loop (its measured share is reported as
+`extra.t5_cost_pct`), delay-pattern AR decode with CFG (batch-doubled)
+through the scan-compiled LM with an int8-quantized KV cache, and EnCodec
+SEANet decode to waveform,
 at the reference model shape (dim 1024 / 24 layers / 16 heads, n_q=4,
 card=2048, 50 Hz frame rate, 32 kHz audio;
 `config/model/lm/model_scale/small.yaml`, `model_cards/MUSICGEN_MODEL_CARD.md`).
@@ -45,13 +46,18 @@ V5E_HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec)
 def _drain(*arrays):
     """Completion barrier: reduce every output to one f32 and fetch it.
 
-    The axon tunnel's device->host bandwidth is unstable (measured 0.075 to
-    65 MB/s across a session) and `block_until_ready` does not actually
-    synchronize on this platform, so timing by fetching full waveforms
-    measures tunnel luck, not chip throughput. A checksum depends on every
-    output element — XLA must finish all compute — while the transfer is 4
-    bytes. Production serving streams PCM over local DMA, which the tunnel
-    does not represent; `extra.completion` documents this choice.
+    A checksum depends on every output element — XLA must finish all compute
+    before the 4-byte result exists — while fetching full waveforms over the
+    axon tunnel measures D2H luck, not chip throughput (the tunnel's D2H
+    bandwidth is unstable: 0.075-65 MB/s across sessions). Production
+    serving streams PCM over local DMA, which the tunnel does not represent;
+    `extra.completion` documents this choice.
+
+    Micro-proof (scripts/bench_drain_proof.py, 64x4096^3 bf16 matmul chain,
+    2026-08-17): t_block_until_ready=0.072s ~= t_checksum=0.076s (so
+    `block_until_ready` IS a real barrier on this platform and either works
+    for compute timing) while t_full_fetch=1.54s for 32 MB (~21 MB/s tunnel
+    D2H) — the checksum excludes exactly that transfer cost.
     """
     return [float(np.asarray(jnp.sum(a.astype(jnp.float32))))
             for a in arrays]
@@ -114,16 +120,31 @@ def bench_musicgen():
                 for chunk in jnp.split(codes, codes.shape[0] // DEC_B)]
         return jnp.concatenate(wavs)
 
-    cond = (jax.random.normal(jax.random.PRNGKey(3), (2 * B, 12, 1024),
-                              jnp.bfloat16),
-            jnp.ones((2 * B, 12), jnp.int32))
-    condition_tensors = {"description": cond}
+    # Native T5-base text encode IN the timed loop (VERDICT r2 #5): tokens ->
+    # T5 embeddings -> output projection -> CFG doubling (zero-mask null
+    # half). Random token ids: encoder cost is value-independent.
+    from audiocraft_tpu.modules.t5 import T5Encoder, T5EncoderConfig
+    t5 = T5Encoder(T5EncoderConfig.for_model("t5-base"), dtype=jnp.bfloat16)
+    tok = jax.random.randint(jax.random.PRNGKey(3), (B, 12), 0, 32128)
+    tmask = jnp.ones((B, 12), jnp.int32)
+    t5_params = jax.jit(t5.init)(jax.random.PRNGKey(4), tok, tmask)
+    out_proj = jax.random.normal(jax.random.PRNGKey(5), (768, 1024),
+                                 jnp.bfloat16) * 0.02
+
+    @jax.jit
+    def encode_text(tok, tmask):
+        emb = t5.apply(t5_params, tok, tmask).astype(jnp.bfloat16) @ out_proj
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb)], 0)
+        mask = jnp.concatenate([tmask, jnp.zeros_like(tmask)], 0)
+        return emb, mask
+
     gen = GenParams(use_sampling=True, temp=1.0, top_k=250, cfg_coef=3.0)
 
     seed = [0]
 
     def run():
         seed[0] += 1
+        condition_tensors = {"description": encode_text(tok, tmask)}
         tokens = lm_mod.generate(
             model, params, jax.random.PRNGKey(seed[0]), conditions=[],
             condition_tensors=condition_tensors, num_samples=B,
@@ -133,6 +154,9 @@ def bench_musicgen():
 
     dt, spread_pct = _timeit_var(run)
     audio_sec = B * DURATION / dt
+    # measured (not asserted) share of the loop spent in text encoding
+    t5_dt = _timeit(lambda: _drain(encode_text(tok, tmask)[0]))
+    t5_cost_pct = round(100.0 * t5_dt / dt, 2)
 
     # HBM-BW utilization estimate for the decode scan: per step every layer
     # streams its weights once and reads the KV buffers once.
@@ -144,7 +168,7 @@ def bench_musicgen():
     steps = int(DURATION * FRAME_RATE)
     total_bytes = steps * (param_bytes + kv_bytes_per_step)
     bw_util = (total_bytes / dt) / (V5E_HBM_GBPS * 1e9)
-    return audio_sec, round(float(bw_util), 3), spread_pct
+    return audio_sec, round(float(bw_util), 3), spread_pct, t5_cost_pct
 
 
 def bench_encodec_rtf():
@@ -323,6 +347,91 @@ def bench_melody(scale="small", MEL_B=128, n_iters=3):
     return round(new_audio / dt, 1)
 
 
+def bench_latency():
+    """Latency axis (VERDICT r2 #4): B=1 and B=8 p50 full-clip latency for
+    musicgen-small (AR, 500 steps) and MAGNeT (non-AR, 60 steps), plus B=1
+    time-to-first-audio for musicgen (latency to 1s of decoded audio — the
+    streaming-chunk latency). MAGNeT decodes the whole clip at once, so its
+    TTFA equals its clip latency; its raison d'etre is winning this axis."""
+    from audiocraft_tpu.models import lm as lm_mod, lm_magnet
+    from audiocraft_tpu.models.lm import GenParams, init_lm_params
+    from audiocraft_tpu.models.lm_magnet import MagnetLMModel
+    from audiocraft_tpu.models.presets import musicgen_lm
+    from audiocraft_tpu.modules.seanet import SEANetDecoder
+    from audiocraft_tpu.quantization import ResidualVectorQuantizer
+
+    model = musicgen_lm("small", n_q=4, card=2048, dtype=jnp.bfloat16)
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    magnet = MagnetLMModel(
+        pattern_provider=model.pattern_provider,
+        conditioners=model.conditioners, fuser=model.fuser,
+        n_q=4, card=2048, dim=1024, num_heads=16, num_layers=24,
+        causal=False, cross_attention=True, norm_first=True,
+        bias_proj=False, bias_ff=False, bias_attn=False,
+        subcodes_context=5, segment_duration=int(DURATION),
+        compression_model_framerate=FRAME_RATE, dtype=jnp.bfloat16)
+    mparams = init_lm_params(magnet, jax.random.PRNGKey(1), seq_len=4)
+    mparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), mparams)
+
+    decoder = SEANetDecoder(channels=1, dimension=128, n_filters=64,
+                            n_residual_layers=1, ratios=(8, 5, 4, 4),
+                            lstm=2, dtype=jnp.bfloat16)
+    rvq = ResidualVectorQuantizer(dimension=128, n_q=4, bins=2048,
+                                  kmeans_init=False)
+    qstate = rvq.init(jax.random.PRNGKey(2))
+    gen = GenParams(use_sampling=True, temp=1.0, top_k=250, cfg_coef=3.0)
+
+    def p50(fn, n=3):
+        fn()  # compile
+        return float(np.median([_timeit(fn, 1) for _ in range(n)]))
+
+    out = {}
+    for LB in (1, 8):
+        cond = (jax.random.normal(jax.random.PRNGKey(3), (2 * LB, 12, 1024),
+                                  jnp.bfloat16),
+                jnp.ones((2 * LB, 12), jnp.int32))
+        ct = {"description": cond}
+        n_frames = int(DURATION * FRAME_RATE)
+        dec_params = decoder.init(
+            jax.random.PRNGKey(4), jnp.zeros((LB, n_frames, 128),
+                                             jnp.bfloat16))
+        dec = jax.jit(lambda p, c: decoder.apply(
+            p, rvq.decode(qstate, c, dtype=jnp.bfloat16)))
+        seed = [LB * 1000]
+
+        def mg_run(n_gen=n_frames, dp=dec_params):
+            seed[0] += 1
+            tokens = lm_mod.generate(
+                model, params, jax.random.PRNGKey(seed[0]), conditions=[],
+                condition_tensors=ct, num_samples=LB, max_gen_len=n_gen,
+                gen=gen, cache_dtype=CACHE_DTYPE)
+            return _drain(dec(dp, tokens))
+
+        def mag_run():
+            seed[0] += 1
+            tokens = lm_magnet.generate_magnet(
+                magnet, mparams, jax.random.PRNGKey(seed[0]), conditions=[],
+                condition_tensors=ct, num_samples=LB, max_gen_len=n_frames)
+            return _drain(dec(dec_params, tokens))
+
+        out[f"musicgen_b{LB}_latency_s"] = round(p50(mg_run), 3)
+        out[f"magnet_b{LB}_latency_s"] = round(p50(mag_run), 3)
+        if LB == 1:
+            # time-to-first-audio: 1s of frames generated + decoded
+            ttfa_frames = int(1.0 * FRAME_RATE)
+            dp1 = decoder.init(jax.random.PRNGKey(5),
+                               jnp.zeros((LB, ttfa_frames, 128),
+                                         jnp.bfloat16))
+            out["musicgen_b1_ttfa_s"] = round(
+                p50(lambda: mg_run(ttfa_frames, dp1)), 3)
+    return out
+
+
+# v5e bf16 peak (public spec); MFU = model FLOPs / (dt * peak)
+V5E_PEAK_FLOPS = 197e12
+
+
 def bench_train(TB=8, n_iters=3, scale="small"):
     """musicgen-small CE training-step throughput on one chip: full fwd+bwd
     +AdamW over 10s token sequences with per-layer activation checkpointing
@@ -361,7 +470,21 @@ def bench_train(TB=8, n_iters=3, scale="small"):
         _drain(metrics["ce"])
         times.append(time.time() - t0)
     dt = float(np.mean(times))
-    return round(TB * DURATION / dt, 1)
+
+    # MFU: trunk matmul FLOPs 6*N*tokens (fwd 2N + bwd 4N) + self-attention
+    # score/value FLOPs 12*L*T^2*d per sample (fwd 4, bwd 8; causal counted
+    # full, the usual convention). Conditioner (frozen T5) excluded ->
+    # conservative. Remat re-computation is NOT model FLOPs (MFU counts
+    # useful work only).
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    n_trunk = sum(int(np.prod(p.shape)) for path, p in flat
+                  if "conditioners" not in "/".join(
+                      str(getattr(k, "key", k)) for k in path))
+    L, d = {"small": (24, 1024), "medium": (48, 1536)}.get(scale, (24, 1024))
+    tokens = TB * T
+    flops = 6 * n_trunk * tokens + 12 * L * T * T * d * TB
+    mfu = flops / dt / V5E_PEAK_FLOPS
+    return round(TB * DURATION / dt, 1), round(float(mfu), 3)
 
 
 def bench_magnet():
@@ -409,16 +532,24 @@ BENCH_BUDGET_SEC = float(__import__("os").environ.get(
     "AUDIOCRAFT_BENCH_BUDGET_SEC", 2000))
 
 
+def _train_with_mfu():
+    tput, mfu = bench_train()
+    return {"train_small_audio_sec_per_sec": tput, "train_mfu": mfu}
+
+
 def main():
     t0 = time.time()
-    audio_sec, bw_util, spread_pct = bench_musicgen()
+    audio_sec, bw_util, spread_pct, t5_cost_pct = bench_musicgen()
     extra = {"batch": B, "kv_cache": "int8",
              "decode_hbm_bw_utilization": bw_util,
              "iter_spread_pct": spread_pct,
+             "t5_in_loop": True, "t5_cost_pct": t5_cost_pct,
              "completion": "device-checksum (tunnel D2H excluded)"}
     # secondary benches are best-effort: never let a fresh-compile stall of
     # a side metric take down the headline number
     secondaries = [
+        ("latency", bench_latency),
+        ("train", _train_with_mfu),
         ("encodec", lambda: dict(zip(("encodec_encode_rtf",
                                       "encodec_decode_rtf"),
                                      bench_encodec_rtf()))),
@@ -428,8 +559,6 @@ def main():
                               bench_audiogen()}),
         ("melody", lambda: {"melody_continuation_audio_sec_per_sec":
                             bench_melody()}),
-        ("train", lambda: {"train_small_audio_sec_per_sec":
-                           bench_train()}),
     ]
     for name, fn in secondaries:
         if time.time() - t0 > BENCH_BUDGET_SEC:
