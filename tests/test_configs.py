@@ -92,6 +92,27 @@ def test_solver_config_builds_model(name):
         pytest.fail(f"unknown solver {solver} in {name}")
 
 
+def test_score_model_group_composes_into_diffusion_solver():
+    """`configs/model/score/basic.yaml` must be the source of the diffusion
+    solver's unet + noise schedule (the group exists for MBD; a solver that
+    shadowed it entirely would make the group dead config)."""
+    import yaml
+    score = load_config("model/score/basic")
+    solver = load_config("solver/diffusion/default")
+    root = Path(__file__).parent.parent / "configs"
+    raw = yaml.safe_load(
+        (root / "solver/diffusion/default.yaml").read_text())
+    own = set((raw.get("diffusion_unet") or {}))  # solver-level overrides
+    for key, val in score["diffusion_unet"].items():
+        assert key in solver["diffusion_unet"], key
+        if key not in own:
+            assert solver["diffusion_unet"][key] == val, key
+    assert solver["schedule"]["repartition"] == \
+        score["schedule"]["repartition"]
+    assert solver["schedule"]["variable_step_batch"] == \
+        score["schedule"]["variable_step_batch"]
+
+
 def test_example_dset_manifest():
     import json
     root = Path(__file__).parent.parent
