@@ -82,6 +82,21 @@ def average_metrics(metrics: tp.Dict[str, tp.Any], count: float = 1.0
     return {k: float(total[i] / denom) for i, k in enumerate(keys)}
 
 
+def check_epoch_consistency(epoch: int):
+    """Guard against out-of-sync checkpoint restores across hosts
+    (`ref solvers/base.py:389-397`): the cross-process mean of the epoch must
+    equal every process's local epoch, else at least one host restored a
+    different checkpoint."""
+    if not is_distributed():
+        return
+    avg = average_metrics({"epoch": float(epoch)})["epoch"]
+    if avg != float(epoch):
+        raise RuntimeError(
+            f"Inconsistent checkpoint restore: our epoch is {epoch} but the "
+            f"cross-process average is {avg}; at least one host restored a "
+            "different epoch.")
+
+
 def sync_model(params):
     """Gradient sync is implicit under pjit; no-op (`musicgen.py:402-409`)."""
     return params

@@ -274,10 +274,12 @@ class StandardSolver(ABC):
 
     def run(self):
         """Full training: restore + epoch loop + commit (`base.py:489-515`)."""
+        from ..parallel import distrib
         self.init_ema()
         restored = self.restore(self.cfg.get("continue_from"))
         if restored:
             self.epoch += 1
+        distrib.check_epoch_consistency(self.epoch)
         self.show()
         epochs = self.cfg.get("optim", {}).get("epochs", 1)
         while self.epoch <= epochs:
@@ -415,9 +417,11 @@ class SolverRunMixin:
         return {}
 
     def run(self):
+        from ..parallel import distrib
         restored = self.restore(self.cfg.get("continue_from"))
         if restored:
             self.epoch += 1
+        distrib.check_epoch_consistency(self.epoch)
         optim_cfg = self.cfg.get("optim", {})
         epochs = optim_cfg.get("epochs", 1)
         updates = optim_cfg.get("updates_per_epoch", 0) or 0

@@ -123,6 +123,10 @@ class DiffusionSolver(SolverRunMixin):
 
         channels = cfg.get("channels", 1)
         unet_cfg = dict(cfg.get("diffusion_unet", {}))
+        if "transformer" in unet_cfg:  # config key per ref unet.py:126
+            unet_cfg["use_transformer"] = unet_cfg.pop("transformer")
+        allowed = set(DiffusionUnet.__dataclass_fields__)
+        unet_cfg = {k: v for k, v in unet_cfg.items() if k in allowed}
         self.model = DiffusionUnet(chin=channels, num_steps=self.num_steps,
                                    **unet_cfg)
 

@@ -51,8 +51,11 @@ def multinomial(rng: jax.Array, probs: jax.Array) -> jax.Array:
 
 
 def sample_top_k(rng: jax.Array, probs: jax.Array, k: int) -> jax.Array:
-    """Top-k sampling on probs [..., C] -> indices [..., 1] (`utils.py:68-82`)."""
-    top_probs, top_idx = jax.lax.top_k(probs, k)
+    """Top-k sampling on probs [..., C] -> indices [..., 1] (`utils.py:68-82`).
+
+    k is clamped to the vocabulary size: top-250 of a 48-card debug codec is
+    exactly "all 48", not an error."""
+    top_probs, top_idx = jax.lax.top_k(probs, min(k, probs.shape[-1]))
     inner = multinomial(rng, top_probs)  # [..., 1]
     return jnp.take_along_axis(top_idx, inner, axis=-1)
 

@@ -132,11 +132,17 @@ def bench_musicgen():
                                  jnp.bfloat16) * 0.02
 
     @jax.jit
-    def encode_text(tok, tmask):
+    def _encode_text(t5_params, tok, tmask):
+        # t5_params is an explicit arg: closing over 440MB of weights bakes
+        # them into the HLO as constants (the axon remote-compile proxy
+        # rejects the oversized program with HTTP 413)
         emb = t5.apply(t5_params, tok, tmask).astype(jnp.bfloat16) @ out_proj
         emb = jnp.concatenate([emb, jnp.zeros_like(emb)], 0)
         mask = jnp.concatenate([tmask, jnp.zeros_like(tmask)], 0)
         return emb, mask
+
+    def encode_text(tok, tmask):
+        return _encode_text(t5_params, tok, tmask)
 
     gen = GenParams(use_sampling=True, temp=1.0, top_k=250, cfg_coef=3.0)
 

@@ -92,6 +92,43 @@ def test_cli_compression_to_musicgen_chain(tmp_path):
     assert history and "train" in history[-1], history
     assert np.isfinite(history[-1]["train"].get("ce", np.inf))
 
+    # 4. AudioGen against the same exported codec (`ref Makefile:8-9`)
+    _run(["-m", "audiocraft_tpu.train", "solver=audiogen/debug",
+          "dset=audio/example", "sample_rate=32000",
+          f"compression_model_checkpoint={exported}",
+          "transformer_lm.n_q=2", "transformer_lm.card=48",
+          "optim.epochs=1", "optim.updates_per_epoch=2",
+          "dataset.batch_size=2", "dataset.num_workers=0",
+          "dataset.segment_duration=1", "dataset.train.num_samples=4",
+          "dataset.valid.num_samples=2", "dataset.evaluate.num_samples=2",
+          "dataset.generate.num_samples=2", "generate.lm.gen_duration=0.5"],
+         tmp_path)
+    ag_xps = [p for p in sorted((dora / "xps").iterdir())
+              if p not in (comp_xp, lm_xp)]
+    assert len(ag_xps) == 1 and (ag_xps[0] / "checkpoint.th").exists()
+
+
+@pytest.mark.integration
+def test_cli_mbd_and_watermark(tmp_path):
+    """`ref Makefile:10-14`: MBD diffusion and watermark debug trainings
+    through the same CLI surface."""
+    _run(["-m", "audiocraft_tpu.train", "solver=diffusion/debug",
+          "dset=audio/example", "optim.epochs=1",
+          "optim.updates_per_epoch=2", "dataset.batch_size=2",
+          "dataset.num_workers=0", "dataset.train.num_samples=4",
+          "dataset.valid.num_samples=2", "dataset.evaluate.num_samples=2",
+          "dataset.generate.num_samples=2"], tmp_path)
+    _run(["-m", "audiocraft_tpu.train", "solver=watermark/debug",
+          "dset=audio/example", "optim.epochs=1",
+          "optim.updates_per_epoch=2", "dataset.batch_size=2",
+          "dataset.num_workers=0", "dataset.train.num_samples=4",
+          "dataset.valid.num_samples=2", "dataset.evaluate.num_samples=2",
+          "dataset.generate.num_samples=2"], tmp_path)
+    xps = sorted((tmp_path / "dora" / "xps").iterdir())
+    assert len(xps) == 2
+    for xp in xps:
+        assert (xp / "checkpoint.th").exists(), xp
+
 
 @pytest.mark.integration
 def test_cli_single_stage_and_bad_override(tmp_path):

@@ -130,3 +130,19 @@ def test_average_metrics_cross_process(tmp_path):
     vals = {ln.split(" ", 2)[-1] for o in outs
             for ln in o.splitlines() if ln.startswith("OK ")}
     assert len(vals) == 1, outs
+
+
+def test_epoch_consistency_guard(tmp_path):
+    """Out-of-sync restores must raise on every host
+    (`ref solvers/base.py:389-397`)."""
+    script = HEADER + textwrap.dedent("""
+        distrib.check_epoch_consistency(3)  # consistent: no raise
+        try:
+            distrib.check_epoch_consistency(3 if pid == 0 else 5)
+        except RuntimeError as e:
+            print("OK", pid, "raised")
+        else:
+            print("FAIL", pid, "no raise")
+    """)
+    outs = _run_two(script, tmp_path)
+    assert all("OK" in o and "FAIL" not in o for o in outs), outs
