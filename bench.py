@@ -438,11 +438,17 @@ def bench_latency():
 V5E_PEAK_FLOPS = 197e12
 
 
-def bench_train(TB=8, n_iters=3, scale="small"):
+def bench_train(TB=16, n_iters=3, scale="small", checkpointing="none"):
     """musicgen-small CE training-step throughput on one chip: full fwd+bwd
-    +AdamW over 10s token sequences with per-layer activation checkpointing
-    (`config/solver/musicgen/default.yaml` shape; grids run this under
-    dp+fsdp across chips — see tests/parallel for the sharded step)."""
+    +AdamW over 10s token sequences (`config/solver/musicgen/default.yaml`
+    shape; grids run this under dp+fsdp across chips — see tests/parallel
+    for the sharded step).
+
+    Defaults from the 2026-08-17 on-chip sweep: no remat + TB=16 -> 525.5
+    audio-sec/sec (MFU 0.355); per-layer jax.checkpoint ('torch') at TB=8 ->
+    479.5 (0.324) — the small model fits without remat, so recompute is pure
+    overhead at this scale (use checkpointing='torch' when activations
+    exceed HBM, e.g. medium+ scales or longer sequences)."""
     import optax
     from audiocraft_tpu.models.lm import (LMModel, init_lm_params,
                                           tokenize_conditions)
@@ -452,7 +458,7 @@ def bench_train(TB=8, n_iters=3, scale="small"):
                                                  make_train_step)
 
     model = musicgen_lm(scale, n_q=4, card=2048, dtype=jnp.bfloat16,
-                        checkpointing="torch")
+                        checkpointing=checkpointing)
     params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
     optimizer = optax.adamw(1e-4, b1=0.9, b2=0.95)
     state = init_train_state(model, params, optimizer)

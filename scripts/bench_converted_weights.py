@@ -13,6 +13,9 @@ the ones converted checkpoints execute (same pytree, shapes, dtypes).
 
 Prints one JSON line:
   {"b": N, "dt_converted_s": ..., "dt_random_s": ..., "delta_pct": ...}
+
+Measured 2026-08-17 (v5e, B=64): dt_converted=3.596s vs dt_random=3.594s —
+delta 0.04%, i.e. noise. 178.0 audio-sec/sec/chip at this batch.
 """
 import json
 import sys
@@ -52,7 +55,8 @@ def build_converted_params():
             fuser=ref_cond.ConditionFuser(fuse2cond=fuse2cond),
             n_q=N_Q, card=CARD, dim=DIM, num_heads=HEADS, num_layers=LAYERS,
             hidden_scale=4, norm_first=True, bias_proj=False, causal=True,
-            cross_attention=True, custom=True, activation="gelu")
+            cross_attention=True, custom=True, activation="gelu",
+            bias_ff=False, bias_attn=False)  # released-checkpoint layout
     src = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     del ref
     params = torch_port.convert_lm_state(
@@ -63,7 +67,7 @@ def build_converted_params():
 
 def main():
     from audiocraft_tpu.models import lm as lm_mod
-    from audiocraft_tpu.models.lm import GenParams, LMModel, init_lm_params
+    from audiocraft_tpu.models.lm import GenParams, LMModel
     from audiocraft_tpu.modules.conditioners import ConditionFuser
     from audiocraft_tpu.modules.patterns import DelayedPatternProvider
 
@@ -77,7 +81,11 @@ def main():
         dtype=jnp.bfloat16)
 
     converted = build_converted_params()
-    random_p = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
+    # init with an explicit dummy cross tensor (no conditioners in-tree)
+    seq0 = jnp.zeros((1, N_Q, 4), jnp.int32)
+    ct0 = {"description": (jnp.zeros((1, 4, DIM), jnp.bfloat16),
+                           jnp.ones((1, 4), jnp.int32))}
+    random_p = model.init(jax.random.PRNGKey(0), seq0, ct0)
     random_p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), random_p)
     # same tree: the bench kernels ARE the converted-checkpoint kernels
     assert (jax.tree_util.tree_structure(converted)
