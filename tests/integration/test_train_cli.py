@@ -131,6 +131,31 @@ def test_cli_mbd_and_watermark(tmp_path):
 
 
 @pytest.mark.integration
+def test_cli_rerun_resumes_from_checkpoint(tmp_path):
+    """Re-running the identical command resumes the XP from checkpoint.th
+    (`ref docs/TRAINING.md:284-288`: Dora reuses the XP folder)."""
+    args = ["-m", "audiocraft_tpu.train", "solver=musicgen/debug",
+            "dset=audio/example", "compression_model_checkpoint=debug",
+            "optim.epochs=2", "optim.updates_per_epoch=2",
+            "dataset.batch_size=2", "dataset.num_workers=0",
+            "dataset.segment_duration=1", "dataset.train.num_samples=4",
+            "dataset.valid.num_samples=2", "dataset.evaluate.num_samples=2",
+            "dataset.generate.num_samples=2", "generate.lm.gen_duration=0.5"]
+    out1 = _run(args, tmp_path)
+    assert "Restored" not in out1
+    xps = sorted((tmp_path / "dora" / "xps").iterdir())
+    assert len(xps) == 1
+    sidecar = json.loads((xps[0] / "checkpoint.th.json").read_text())
+    assert sidecar["epoch"] == 2 and len(sidecar["history"]) == 2
+
+    out2 = _run(args, tmp_path)  # same sig -> restore, nothing left to train
+    assert "Restored" in out2
+    assert "Starting epoch" not in out2
+    sidecar2 = json.loads((xps[0] / "checkpoint.th.json").read_text())
+    assert sidecar2["epoch"] == 2 and len(sidecar2["history"]) == 2
+
+
+@pytest.mark.integration
 def test_cli_single_stage_and_bad_override(tmp_path):
     """--run_stage executes exactly one stage; an unknown solver fails
     loudly (CLI arg-surface checks)."""
