@@ -76,8 +76,18 @@ def init_seed_and_system(cfg: dict):
     random.seed(seed)
     np.random.seed(seed)
     logger.info("Setting seed %d", seed)
-    # persistent XLA compile cache: restarts/resumes skip the big compiles
+    # Honor `device=cpu` (the reference's `cfg.device`, `train.py:119`): pin the
+    # jax platform before any computation runs. Must use jax_platform_name —
+    # some TPU plugins (e.g. tunneled ones) register regardless of
+    # JAX_PLATFORMS, and tiny debug runs dispatched over the tunnel stall for
+    # minutes. A no-op when devices were already initialized by the caller.
+    device = cfg.get("device", "tpu")
     import jax
+    if device and device not in ("tpu", "cuda"):
+        try:
+            jax.config.update("jax_platform_name", device)
+        except Exception as e:
+            logger.warning("could not pin platform %r: %s", device, e)
     cache_dir = cfg.get("compile_cache_dir") or os.environ.get(
         "AUDIOCRAFT_COMPILE_CACHE", str(Path.home() / ".cache/audiocraft_tpu/xla"))
     try:
