@@ -58,6 +58,15 @@ class CLAPTextConsistencyMetric(TextConsistencyMetric):
             return None, None
         logger.info("CLAP text consistency using checkpoint %s", ckpt)
         emb = CLAPEmbedder.from_checkpoint(ckpt)
+        if emb.tokenizer is None:
+            # Text consistency needs both towers: without the RoBERTa
+            # tokenizer files the first update() would raise mid-evaluate;
+            # report unavailable so the solver skips the metric up front.
+            logger.warning(
+                "CLAP checkpoint %s found but no RoBERTa tokenizer files "
+                "(vocab.json + merges.txt) nearby; text consistency "
+                "disabled.", ckpt)
+            return None, None
         return emb.embed_audio, emb.embed_text
 
     def update(self, audio: np.ndarray, text: tp.List[str], sizes, sample_rates):

@@ -1,15 +1,13 @@
 """Frechet Audio Distance.
 
 Parity: `audiocraft/metrics/fad.py:29-123`. The reference shells out to the
-Google TF FAD implementation with VGGish embeddings (`TF_PYTHON_EXE`); that
-path is preserved when available. Natively we compute the Frechet distance
-over a pluggable embedding function (VGGish weights cannot be downloaded in a
-zero-egress environment; a log-mel embedding fallback supports relative
-comparisons and tests).
+Google TF FAD implementation with VGGish embeddings; here the native JAX
+VGGish port (`metrics/vggish.py`, exact Google preprocessing, torch-parity
+tested) replaces that subprocess outright. The Frechet distance runs over a
+pluggable embedding function; without a local VGGish checkpoint a log-mel
+fallback supports relative comparisons and tests.
 """
 import logging
-import os
-import subprocess
 import typing as tp
 from pathlib import Path
 
@@ -30,21 +28,29 @@ def frechet_distance(mu_x: np.ndarray, sigma_x: np.ndarray,
     their product is numerically singular; the standard fix (as in the
     canonical FID implementation) is to retry with ``eps*I`` added to both
     covariance diagonals, which keeps the result finite and deterministic.
+    ``sqrtm`` raises nothing on singular input (and its ``disp``/``errest``
+    interface is deprecated as of scipy 1.17), so inaccuracy is detected by
+    the reconstruction error ||S^2 - P|| / ||P|| directly.
     """
-    import warnings
     from scipy import linalg
     diff = mu_x - mu_y
-    with warnings.catch_warnings():
-        warnings.filterwarnings("ignore", category=DeprecationWarning)
-        warnings.filterwarnings("error", category=linalg.LinAlgWarning)
-        try:
-            covmean, _ = linalg.sqrtm(sigma_x @ sigma_y, disp=False)
-            if not np.all(np.isfinite(covmean)):
-                raise linalg.LinAlgWarning("non-finite sqrtm")
-        except (linalg.LinAlgWarning, linalg.LinAlgError):
-            offset = eps * np.eye(sigma_x.shape[0])
-            covmean, _ = linalg.sqrtm(
-                (sigma_x + offset) @ (sigma_y + offset), disp=False)
+
+    def _sqrtm(prod):
+        import warnings
+        with warnings.catch_warnings():
+            # singularity is handled by the reconstruction check + eps retry
+            warnings.simplefilter("ignore", linalg.LinAlgWarning)
+            s = linalg.sqrtm(prod)
+        ok = bool(np.all(np.isfinite(s)))
+        if ok:
+            denom = max(float(np.linalg.norm(prod)), 1e-12)
+            ok = float(np.linalg.norm(s @ s - prod)) / denom < 1e-3
+        return s, ok
+
+    covmean, ok = _sqrtm(sigma_x @ sigma_y)
+    if not ok:
+        offset = eps * np.eye(sigma_x.shape[0])
+        covmean, _ = _sqrtm((sigma_x + offset) @ (sigma_y + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     fd = float(diff @ diff + np.trace(sigma_x) + np.trace(sigma_y)
@@ -72,9 +78,9 @@ def logmel_embeddings(wav: np.ndarray, sample_rate: int,
 class FrechetAudioDistanceMetric:
     """FAD over accumulated embeddings (`fad.py:29-123`).
 
-    embed_fn(wav [B,C,T], sr) -> [N, D]; defaults to VGGish via the TF
-    subprocess if `TF_PYTHON_EXE` + the Google FAD repo are configured
-    (`fad.py:47-70`), else the log-mel fallback.
+    embed_fn(wav [B,C,T], sr) -> [N, D]; defaults to the native JAX VGGish
+    when a local checkpoint is available (model_path, $VGGISH_CHECKPOINT or
+    the cache dir), else the labeled log-mel fallback.
     """
 
     def __init__(self, bin_path: tp.Optional[str] = None,
@@ -82,8 +88,6 @@ class FrechetAudioDistanceMetric:
                  format: str = "wav", batch_size: tp.Optional[int] = None,
                  log_folder: tp.Optional[str] = None,
                  embed_fn: tp.Optional[tp.Callable] = None):
-        self.tf_python = os.environ.get("TF_PYTHON_EXE")
-        self.bin_path = bin_path
         self.model_path = model_path
         self.embed_kind = "custom"
         if embed_fn is None:
@@ -121,6 +125,8 @@ class FrechetAudioDistanceMetric:
 
     def compute(self) -> float:
         """`fad.py:112-123`."""
+        assert self._pred_embs and self._ref_embs, \
+            "no embeddings accumulated (empty evaluate shard?)"
         preds = np.concatenate(self._pred_embs)
         refs = np.concatenate(self._ref_embs)
         assert len(preds) > 1 and len(refs) > 1, "need >1 embedding windows"

@@ -102,4 +102,16 @@ class PasstKLDivergenceMetric(KLDivergenceMetric):
                 "PasstKLDivergenceMetric requires a local PaSST classifier; "
                 "pass classifier_fn=... (no network egress available).")
         sr = int(np.asarray(sample_rates).reshape(-1)[0])
-        return np.asarray(self.classifier_fn(np.asarray(x), sr))
+        x = np.asarray(x)
+        if sizes is None:
+            return np.asarray(self.classifier_fn(x, sr))
+        # Crop each item to its valid length before classification
+        # (`ref kld.py:139-145`): the zero-padded tail of a short clip would
+        # otherwise contribute silence probability mass to both p and q.
+        sizes = np.asarray(sizes).reshape(-1).astype(int)
+        out = []
+        for i in range(x.shape[0]):
+            T = int(np.clip(sizes[i], 1, x.shape[-1]))
+            out.append(np.asarray(
+                self.classifier_fn(x[i:i + 1, :, :T], sr))[0])
+        return np.stack(out)

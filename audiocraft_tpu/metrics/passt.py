@@ -47,37 +47,9 @@ def _slaney_mel_matrix(n_freqs: int, sample_rate: float, n_mels: int,
                        fmin: float, fmax: float) -> np.ndarray:
     """librosa-style mel filterbank: slaney scale + slaney (area) norm,
     as built by hear21passt (htk=False, norm=1). [n_freqs, n_mels]."""
-    def hz_to_mel(f):
-        f = np.asarray(f, np.float64)
-        # slaney: linear below 1 kHz, log above
-        mel = f / (200.0 / 3)
-        logstep = np.log(6.4) / 27.0
-        above = f >= 1000.0
-        mel = np.where(above, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0)
-                       / logstep, mel)
-        return mel
-
-    def mel_to_hz(m):
-        m = np.asarray(m, np.float64)
-        f = m * (200.0 / 3)
-        logstep = np.log(6.4) / 27.0
-        above = m >= 15.0
-        return np.where(above, 1000.0 * np.exp(logstep * (m - 15.0)), f)
-
-    fft_freqs = np.linspace(0.0, sample_rate / 2, n_freqs)
-    mel_pts = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax),
-                                    n_mels + 2))
-    weights = np.zeros((n_freqs, n_mels))
-    for i in range(n_mels):
-        lower = (fft_freqs - mel_pts[i]) / max(mel_pts[i + 1] - mel_pts[i],
-                                               1e-10)
-        upper = (mel_pts[i + 2] - fft_freqs) / max(mel_pts[i + 2]
-                                                   - mel_pts[i + 1], 1e-10)
-        weights[:, i] = np.maximum(0.0, np.minimum(lower, upper))
-    # slaney norm: scale each filter to constant energy per channel
-    enorm = 2.0 / (mel_pts[2:n_mels + 2] - mel_pts[:n_mels])
-    weights *= enorm[None, :]
-    return weights.astype(np.float32)
+    from ..ops.stft import mel_filters
+    return mel_filters(int(sample_rate), 2 * (n_freqs - 1), n_mels,
+                       fmin, fmax, htk=False, norm="slaney")
 
 
 def passt_mel(wav: np.ndarray, fmin: float = 0.0,
@@ -110,9 +82,8 @@ def passt_mel(wav: np.ndarray, fmin: float = 0.0,
 # ------------------------------------------------------------------ network
 
 def _layer_norm(x, p):
-    mu = x.mean(axis=-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
-    return (x - mu) / jnp.sqrt(var + 1e-6) * p["scale"] + p["bias"]
+    from ..modules.clap import _layer_norm as _ln
+    return _ln(x, p, 1e-6)
 
 
 def _block(x, p):
@@ -228,18 +199,10 @@ def load_passt_params(path: tp.Union[str, Path]) -> dict:
 def find_passt_checkpoint() -> tp.Optional[Path]:
     """Locate a local PaSST checkpoint: $PASST_CHECKPOINT, then
     AUDIOCRAFT_CACHE_DIR/passt.{pt,pth,npz}."""
-    import os
-    cand = os.environ.get("PASST_CHECKPOINT")
-    if cand and Path(cand).exists():
-        return Path(cand)
-    cache = os.environ.get("AUDIOCRAFT_CACHE_DIR")
-    if cache:
-        for name in ("passt.pt", "passt.pth", "passt.npz",
-                     "passt/passt.pt"):
-            p = Path(cache) / name
-            if p.exists():
-                return p
-    return None
+    from ..utils.utils import find_local_checkpoint
+    return find_local_checkpoint(
+        "PASST_CHECKPOINT",
+        ("passt.pt", "passt.pth", "passt.npz", "passt/passt.pt"))
 
 
 class PasstClassifier:

@@ -147,17 +147,10 @@ def load_vggish_params(path: tp.Union[str, Path]) -> dict:
 def find_vggish_checkpoint() -> tp.Optional[Path]:
     """Locate a local VGGish checkpoint: $VGGISH_CHECKPOINT, then
     AUDIOCRAFT_CACHE_DIR/vggish.{pth,npz}."""
-    import os
-    cand = os.environ.get("VGGISH_CHECKPOINT")
-    if cand and Path(cand).exists():
-        return Path(cand)
-    cache = os.environ.get("AUDIOCRAFT_CACHE_DIR")
-    if cache:
-        for name in ("vggish.pth", "vggish.npz", "vggish/vggish.pth"):
-            p = Path(cache) / name
-            if p.exists():
-                return p
-    return None
+    from ..utils.utils import find_local_checkpoint
+    return find_local_checkpoint(
+        "VGGISH_CHECKPOINT",
+        ("vggish.pth", "vggish.npz", "vggish/vggish.pth"))
 
 
 class VGGishEmbedder:

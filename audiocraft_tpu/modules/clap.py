@@ -47,40 +47,10 @@ def _mel_filter_bank(n_freqs: int, n_mels: int, fmin: float, fmax: float,
                      sample_rate: float, scale: str = "slaney") -> np.ndarray:
     """Triangular mel filterbank [n_freqs, n_mels]; slaney scale + slaney
     norm (the HF ClapFeatureExtractor non-fusion path) or htk."""
-    if scale == "htk":
-        def to_mel(f):
-            return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
-
-        def from_mel(m):
-            return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
-    else:
-        def to_mel(f):
-            f = np.asarray(f, np.float64)
-            mel = f / (200.0 / 3)
-            logstep = np.log(6.4) / 27.0
-            return np.where(f >= 1000.0,
-                            15.0 + np.log(np.maximum(f, 1e-10) / 1000.0)
-                            / logstep, mel)
-
-        def from_mel(m):
-            m = np.asarray(m, np.float64)
-            logstep = np.log(6.4) / 27.0
-            return np.where(m >= 15.0, 1000.0 * np.exp(logstep * (m - 15.0)),
-                            m * (200.0 / 3))
-
-    fft_freqs = np.linspace(0.0, sample_rate / 2, n_freqs)
-    mel_pts = from_mel(np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2))
-    weights = np.zeros((n_freqs, n_mels))
-    for i in range(n_mels):
-        lower = (fft_freqs - mel_pts[i]) / max(mel_pts[i + 1] - mel_pts[i],
-                                               1e-10)
-        upper = (mel_pts[i + 2] - fft_freqs) / max(
-            mel_pts[i + 2] - mel_pts[i + 1], 1e-10)
-        weights[:, i] = np.maximum(0.0, np.minimum(lower, upper))
-    if scale != "htk":  # slaney norm
-        enorm = 2.0 / (mel_pts[2:n_mels + 2] - mel_pts[:n_mels])
-        weights *= enorm[None, :]
-    return weights.astype(np.float32)
+    from ..ops.stft import mel_filters
+    htk = scale == "htk"
+    return mel_filters(int(sample_rate), 2 * (n_freqs - 1), n_mels,
+                       fmin, fmax, htk=htk, norm=None if htk else "slaney")
 
 
 def clap_mel(wav: np.ndarray, n_mels: int = 64, fmin: float = 50.0,
@@ -496,18 +466,11 @@ def load_clap_params(path: tp.Union[str, Path],
 def find_clap_checkpoint() -> tp.Optional[Path]:
     """Locate a local CLAP checkpoint: $CLAP_CHECKPOINT, then
     AUDIOCRAFT_CACHE_DIR/clap.{pt,pth,bin,safetensors,npz}."""
-    import os
-    cand = os.environ.get("CLAP_CHECKPOINT")
-    if cand and Path(cand).exists():
-        return Path(cand)
-    cache = os.environ.get("AUDIOCRAFT_CACHE_DIR")
-    if cache:
-        for name in ("clap.pt", "clap.pth", "clap.bin", "clap.safetensors",
-                     "clap.npz", "clap/clap.pt"):
-            p = Path(cache) / name
-            if p.exists():
-                return p
-    return None
+    from ..utils.utils import find_local_checkpoint
+    return find_local_checkpoint(
+        "CLAP_CHECKPOINT",
+        ("clap.pt", "clap.pth", "clap.bin", "clap.safetensors",
+         "clap.npz", "clap/clap.pt"))
 
 
 def _find_tokenizer_dir(ckpt: Path) -> tp.Optional[Path]:

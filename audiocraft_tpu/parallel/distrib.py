@@ -57,7 +57,8 @@ def barrier(name: str = "barrier"):
         multihost_utils.sync_global_devices(name)
 
 
-def average_metrics(metrics: tp.Dict[str, tp.Any], count: float = 1.0
+def average_metrics(metrics: tp.Dict[str, tp.Any], count: float = 1.0,
+                    weights: tp.Optional[tp.Dict[str, float]] = None
                     ) -> tp.Dict[str, float]:
     """Cross-process weighted mean of host-side metrics
     (`flashy.distrib.average_metrics`, `ref solvers/base.py:556`).
@@ -67,19 +68,41 @@ def average_metrics(metrics: tp.Dict[str, tp.Any], count: float = 1.0
     PESQ, FAD/KLD/CLAP) each run over the process-local dataloader shard:
     without this reduction every host would log different eval numbers and
     `update_best_state` could pick different best epochs per host. The
-    reduction is a psum of (value*count, count) over one device per process
-    via `multihost_utils.process_allgather`; key order must match across
-    processes (it does: all hosts run the same metric code)."""
-    if not is_distributed():
-        return {k: float(np.asarray(v)) for k, v in metrics.items()}
-    from jax.experimental import multihost_utils
+    reduction is a psum of (value*weight, weight) over one device per process
+    via `multihost_utils.process_allgather`.
+
+    `weights` optionally overrides `count` per key: a host whose shard could
+    not produce a metric (e.g. too few FAD embedding windows) passes weight 0
+    for that key so it still participates in the allgather with a consistent
+    key set, contributing nothing to the mean. Keys whose *global* weight is
+    zero are dropped from the result — identically on every host, since the
+    totals are global. A CRC of the sorted key tuple rides along so a
+    per-host key-set divergence (e.g. differing local checkpoints switching
+    `fad` to `fad_logmel`) fails loudly instead of averaging mismatched
+    columns."""
     keys = sorted(metrics.keys())
-    local = np.asarray([float(np.asarray(metrics[k])) * count
-                        for k in keys] + [count], np.float64)
+    w = {k: float(count if weights is None else weights.get(k, count))
+         for k in keys}
+    if not is_distributed():
+        return {k: float(np.asarray(metrics[k])) for k in keys if w[k] > 0}
+    from jax.experimental import multihost_utils
+    import zlib
+    crc = float(zlib.crc32(";".join(keys).encode()))
+    local = np.asarray(
+        [crc] + [float(np.asarray(metrics[k])) * w[k] for k in keys]
+        + [w[k] for k in keys], np.float64)
     gathered = np.asarray(multihost_utils.process_allgather(local))
+    assert (gathered[:, 0] == crc).all(), \
+        "average_metrics: metric key sets differ across hosts — check that " \
+        "every host has the same metric checkpoints installed"
     total = gathered.sum(axis=0)
-    denom = max(total[-1], 1e-12)
-    return {k: float(total[i] / denom) for i, k in enumerate(keys)}
+    n = len(keys)
+    out = {}
+    for i, k in enumerate(keys):
+        denom = total[1 + n + i]
+        if denom > 0:
+            out[k] = float(total[1 + i] / denom)
+    return out
 
 
 def check_epoch_consistency(epoch: int):

@@ -211,7 +211,12 @@ class StandardSolver(ABC):
     def restore(self, continue_from: tp.Optional[str] = None) -> bool:
         """Restore from the XP folder or `continue_from` (`base.py:314-430`)."""
         path: tp.Optional[Path] = self.checkpoint_path()
-        if continue_from is not None:
+        # The XP's own checkpoint wins over `continue_from`: a preempted run
+        # restarted with the same config (which still names the donor) must
+        # resume its own progress, not reload the donor (`ref base.py:364-377`
+        # only falls back to continue_from when no own checkpoint exists).
+        own = path is not None and Path(path).exists()
+        if continue_from is not None and not own:
             path = checkpoint.resolve_checkpoint_path(continue_from)
             assert path is not None, f"Could not resolve {continue_from}"
         if path is None or not Path(path).exists():
@@ -219,11 +224,16 @@ class StandardSolver(ABC):
         self.state = checkpoint.restore_pytree(path, self.state)
         import json
         sidecar = Path(str(path) + ".json")
-        if sidecar.exists() and continue_from is None:
+        if sidecar.exists() and (continue_from is None or own):
             extra = json.loads(sidecar.read_text())
             self.epoch = extra.get("epoch", 1)
             self.history = extra.get("history", [])
             self._best_metric_value = extra.get("best_metric_value")
+        else:
+            # Warm start from an external checkpoint: params only. run()
+            # advances the epoch by one after a successful restore, so start
+            # from 0 to make the new run train its full schedule from 1.
+            self.epoch = 0
         ema_path = Path(path).parent / "checkpoint_ema.th"
         if self.ema_state is not None and ema_path.exists():
             self.ema_state = checkpoint.restore_pytree(ema_path, self.ema_state)
@@ -387,18 +397,25 @@ class SolverRunMixin:
 
     def restore(self, continue_from: tp.Optional[str] = None) -> bool:
         path: tp.Optional[Path] = self._folder / checkpoint.checkpoint_name()
-        if continue_from is not None:
+        # Own XP checkpoint wins over continue_from (see StandardSolver.restore).
+        own = path is not None and Path(path).exists()
+        if continue_from is not None and not own:
             path = checkpoint.resolve_checkpoint_path(continue_from)
         if path is None or not Path(path).exists():
             return False
         self.state = checkpoint.restore_pytree(path, self.state)
         import json
         sidecar = Path(str(path) + ".json")
-        if sidecar.exists():
+        # Warm starts (`continue_from`) take only the params: restoring the
+        # donor's epoch would make a new run whose `optim.epochs` <= the
+        # donor's silently train zero epochs (ref base.py:352-361 likewise
+        # drops the run-loop state for external checkpoints).
+        if sidecar.exists() and (continue_from is None or own):
             extra = json.loads(sidecar.read_text())
             self.epoch = extra.get("epoch", 1)
-            if continue_from is None:
-                self._history = extra.get("history", [])
+            self._history = extra.get("history", [])
+        else:
+            self.epoch = 0  # warm start: params only (see StandardSolver)
         logger.info("Restored from %s (epoch %d)", path, self.epoch)
         return True
 

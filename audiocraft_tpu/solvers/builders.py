@@ -179,12 +179,21 @@ def get_audio_datasets(cfg: dict,
 def get_fad(cfg: dict):
     """Instantiate the FAD metric (`ref builders.py:262-267`).
 
-    `model` picks the embedding backend: "vggish" (native JAX port, default)
-    or "tf" (Google FAD subprocess). Always constructible — without a local
-    VGGish checkpoint it degrades to the labeled log-mel fallback
-    (check `.embed_kind` for the metric name to log under)."""
+    The native JAX VGGish port is the only backend: it replaces the
+    reference's Google-FAD TF subprocess (`ref metrics/fad.py:47`) outright.
+    Always constructible — without a local VGGish checkpoint it degrades to
+    the labeled log-mel fallback (check `.embed_kind` for the metric name to
+    log under)."""
     from .. import metrics
     model = cfg.get("model", "vggish")
+    if model == "tf":
+        # the reference's TF-graph checkpoints are not loadable here; the
+        # native port computes the same embedding from torch-layout weights
+        logger.warning(
+            "metrics.fad.model=tf: the TF FAD subprocess is replaced by the "
+            "native VGGish port; set metrics.fad.vggish.model_path to a "
+            "torch-layout vggish.pth (see docs/METRICS.md)")
+        model = "vggish"
     sub = dict(cfg.get(model) or {})
     sub.pop("bin", None)
     return metrics.FrechetAudioDistanceMetric(

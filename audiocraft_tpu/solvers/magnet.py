@@ -220,7 +220,12 @@ class MagnetSolver(MusicGenSolver):
                 n += 1
         ce = ce_sum / max(n, 1)
         from ..parallel import distrib
-        return distrib.average_metrics({"ce": ce, "ppl": float(np.exp(ce))}, n)
+        # average ce across hosts first, then derive ppl: the arithmetic
+        # mean of per-host exp(ce) would disagree with exp(mean ce)
+        metrics = distrib.average_metrics({"ce": ce}, n)
+        if "ce" in metrics:
+            metrics["ppl"] = float(np.exp(metrics["ce"]))
+        return metrics
 
 
 class AudioMagnetSolver(MagnetSolver):

@@ -386,11 +386,12 @@ class MusicGenSolver(SolverRunMixin):
                 average[k] = average.get(k, 0.0) + float(np.asarray(v))
         metrics = {k: v / max(count, 1) for k, v in average.items()}
 
-        metrics.update(self.evaluate_audio_generation())
+        gen_metrics, gen_weights = self.evaluate_audio_generation()
+        metrics.update(gen_metrics)
         from ..parallel import distrib
-        return distrib.average_metrics(metrics, count)
+        return distrib.average_metrics(metrics, count, weights=gen_weights)
 
-    def evaluate_audio_generation(self) -> dict:
+    def evaluate_audio_generation(self) -> tp.Tuple[dict, dict]:
         """Off-the-shelf generative metrics over the evaluate split
         (`ref solvers/musicgen.py:636-739`): generate audio per batch and
         feed FAD / KLD / CLAP text consistency / chroma cosine.
@@ -423,11 +424,11 @@ class MusicGenSolver(SolverRunMixin):
                 "sample_rate", self.compression_model.sample_rate)
             chroma = solver_builders.get_chroma_cosine_similarity(sub)
         if all(m is None for m in (fad, kldiv, textcons, chroma)):
-            return {}
+            return {}, {}
 
         loader = self.dataloaders.get("evaluate")
         if loader is None:
-            return {}
+            return {}, {}
         mg = self._gen_model()
         sr = self.compression_model.sample_rate
         max_batches = (self.cfg.get("evaluate", {}) or {}).get(
@@ -470,22 +471,40 @@ class MusicGenSolver(SolverRunMixin):
                                            or {}).get("use_gt") else gen
                 chroma.update(y, ref, sizes, srs)
 
+        # Each metric computes independently; a failure (e.g. an empty or
+        # too-small evaluate shard) zero-weights that key rather than killing
+        # the stage or the other metrics. The key set stays deterministic
+        # given which metrics were constructed, so the cross-host allgather
+        # in `distrib.average_metrics` sees consistent columns; weight-0 keys
+        # drop out of the averaged result.
         results: tp.Dict[str, float] = {}
-        try:
-            if fad is not None:
-                key = "fad" if fad.embed_kind != "logmel-fallback" \
-                    else "fad_logmel"
-                results[key] = float(fad.compute())
-            if kldiv is not None:
-                results.update({k: float(v)
-                                for k, v in kldiv.compute().items()})
-            if textcons is not None:
-                results["text_consistency"] = float(textcons.compute())
-            if chroma is not None:
-                results["chroma_cosine"] = float(chroma.compute())
-        except AssertionError as exc:  # e.g. empty evaluate split
-            logger.warning("generative metrics incomplete: %s", exc)
-        return results
+        weights: tp.Dict[str, float] = {}
+
+        def emit(keys: tp.List[str], compute: tp.Callable[[], tp.Dict[str, float]]):
+            try:
+                vals = compute()
+            except (AssertionError, ValueError) as exc:
+                logger.warning("generative metric %s incomplete on this "
+                               "shard: %s", "/".join(keys), exc)
+                vals = {k: 0.0 for k in keys}
+                weights.update({k: 0.0 for k in keys})
+            else:
+                weights.update({k: 1.0 for k in keys})
+            results.update({k: float(v) for k, v in vals.items()})
+
+        if fad is not None:
+            key = "fad" if fad.embed_kind != "logmel-fallback" \
+                else "fad_logmel"
+            emit([key], lambda: {key: fad.compute()})
+        if kldiv is not None:
+            emit(["kld", "kld_pq", "kld_qp", "kld_both"], kldiv.compute)
+        if textcons is not None:
+            emit(["text_consistency"],
+                 lambda: {"text_consistency": textcons.compute()})
+        if chroma is not None:
+            emit(["chroma_cosine"],
+                 lambda: {"chroma_cosine": chroma.compute()})
+        return results, weights
 
     def generate(self) -> dict:
         """Sample generation stage with SampleManager storage

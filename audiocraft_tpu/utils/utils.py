@@ -106,6 +106,25 @@ def collate(tensors: tp.List[np.ndarray], dim: int = 0) -> tp.Tuple[np.ndarray, 
     return stacked, lens
 
 
+def find_local_checkpoint(env_var: str, names: tp.Sequence[str]):
+    """Locate a local model checkpoint in a zero-egress environment:
+    $<env_var> first, then AUDIOCRAFT_CACHE_DIR/<name> in order. Shared by
+    the VGGish / PaSST / CLAP availability probes so the search order stays
+    consistent across metrics. Returns a Path or None."""
+    import os
+    from pathlib import Path
+    cand = os.environ.get(env_var)
+    if cand and Path(cand).exists():
+        return Path(cand)
+    cache = os.environ.get("AUDIOCRAFT_CACHE_DIR")
+    if cache:
+        for name in names:
+            p = Path(cache) / name
+            if p.exists():
+                return p
+    return None
+
+
 @lru_cache(None)
 def warn_once(logger, msg):
     logger.warning(msg)

@@ -132,6 +132,28 @@ def test_average_metrics_cross_process(tmp_path):
     assert len(vals) == 1, outs
 
 
+def test_average_metrics_per_key_weights(tmp_path):
+    """A host whose shard couldn't produce a metric passes weight 0 for that
+    key (e.g. too few FAD windows): the key set stays consistent for the
+    allgather and the other host's value carries the mean."""
+    script = HEADER + textwrap.dedent("""
+        # both hosts have ce over `count` batches; only rank 1 produced fad
+        local = {"ce": 2.0 if pid == 0 else 4.0,
+                 "fad": 0.0 if pid == 0 else 7.5}
+        count = 1
+        out = distrib.average_metrics(
+            local, count, weights={"fad": 0.0 if pid == 0 else 1.0})
+        assert abs(out["ce"] - 3.0) < 1e-9, out
+        assert abs(out["fad"] - 7.5) < 1e-9, out
+        print(f"OK {pid} {out['ce']:.4f} {out['fad']:.4f}")
+    """)
+    outs = _run_two(script, tmp_path)
+    assert all("OK" in o for o in outs), outs
+    vals = {ln.split(" ", 2)[-1] for o in outs
+            for ln in o.splitlines() if ln.startswith("OK ")}
+    assert len(vals) == 1, outs
+
+
 def test_epoch_consistency_guard(tmp_path):
     """Out-of-sync restores must raise on every host
     (`ref solvers/base.py:389-397`)."""
