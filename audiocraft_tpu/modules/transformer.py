@@ -262,12 +262,19 @@ class StreamingMultiheadAttention(nn.Module):
             cache = cache.write(k, v, offset)
             if (T == 1 and self.causal and attn_bias is None
                     and self.kv_repeat == 1
-                    and cache.k.dtype != jnp.int8
                     and _EFFICIENT_ATTENTION_BACKEND == "pallas"):
                 from ..ops.flash_attention import decode_attention
-                x = decode_attention(q[:, 0], cache.k.astype(dtype),
-                                     cache.v.astype(dtype), offset + T,
-                                     past_context=self.past_context)
+                if cache.k.dtype == jnp.int8:
+                    # int8 buffers go to the kernel as-is; dequant in VMEM
+                    x = decode_attention(q[:, 0], cache.k, cache.v,
+                                         offset + T,
+                                         past_context=self.past_context,
+                                         k_scale=cache.k_scale,
+                                         v_scale=cache.v_scale)
+                else:
+                    x = decode_attention(q[:, 0], cache.k.astype(dtype),
+                                         cache.v.astype(dtype), offset + T,
+                                         past_context=self.past_context)
                 return self.out_proj(x.reshape(B, T, -1)), cache
             S = cache.k.shape[1]
             k_pos = jnp.arange(S)

@@ -26,11 +26,20 @@ NEG_INF = -1e30
 _M_FLOOR = -1e4
 
 
-def _decode_attn_kernel(length_ref, q_ref, k_ref, v_ref, o_ref,
-                        m_ref, l_ref, acc_ref, *,
+def _decode_attn_kernel(length_ref, q_ref, k_ref, v_ref, *rest,
                         s_blk: int, n_blk: int,
-                        past_context: tp.Optional[int]):
-    """Grid: (B, S//s_blk). Blocks: q/out [1, H, D]; k/v [1, s_blk, H, D]."""
+                        past_context: tp.Optional[int],
+                        quantized: bool):
+    """Grid: (B, S//s_blk). Blocks: q/out [1, H, D]; k/v [1, s_blk, H, D].
+
+    With `quantized`, k/v blocks are int8 and two extra inputs carry the
+    per-(step, head) dequant scales as [1, s_blk, H] blocks; dequantization
+    happens in VMEM so the int8 cache is the only HBM traffic.
+    """
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     sb = pl.program_id(1)
 
     @pl.when(sb == 0)
@@ -42,6 +51,8 @@ def _decode_attn_kernel(length_ref, q_ref, k_ref, v_ref, o_ref,
     length = length_ref[0]
     q = q_ref[0].astype(jnp.float32)                  # [H, D]
     k = k_ref[0].astype(jnp.float32)                  # [s_blk, H, D]
+    if quantized:
+        k = k * ks_ref[0].astype(jnp.float32)[:, :, None]
     D = q.shape[-1]
     scale = 1.0 / (D ** 0.5)
     # scores[s, h] = sum_d q[h, d] * k[s, h, d]  (VPU multiply-reduce)
@@ -60,6 +71,8 @@ def _decode_attn_kernel(length_ref, q_ref, k_ref, v_ref, o_ref,
     alpha = jnp.exp(m_prev - m_new)                   # [1, H]
     e = jnp.exp(scores - m_new)                       # [s_blk, H]
     v = v_ref[0].astype(jnp.float32)                  # [s_blk, H, D]
+    if quantized:
+        v = v * vs_ref[0].astype(jnp.float32)[:, :, None]
     m_ref[...] = m_new
     l_ref[...] = l_ref[...] * alpha + jnp.sum(e, axis=0, keepdims=True)
     acc_ref[...] = acc_ref[...] * alpha[0][:, None] \
@@ -81,35 +94,56 @@ def _pick_block(S: int, target: int = 512) -> int:
 @functools.partial(jax.jit, static_argnames=("past_context",))
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                      length: jax.Array,
-                     past_context: tp.Optional[int] = None) -> jax.Array:
+                     past_context: tp.Optional[int] = None,
+                     k_scale: tp.Optional[jax.Array] = None,
+                     v_scale: tp.Optional[jax.Array] = None) -> jax.Array:
     """Fused single-query attention over a static KV cache.
 
     q [B, H, D]; k_cache/v_cache [B, S, H, D]; length: scalar int32 count of
     valid cache slots (the current step is the last valid one).
+    With an int8-quantized cache (`KVCache` dtype int8), pass the
+    per-(step, head) `k_scale`/`v_scale` buffers ([B, S, H, 1] or [B, S, H]):
+    dequantization happens inside the kernel, so HBM traffic stays int8.
     Returns [B, H, D] in q.dtype.
+
+    Measured (v5e, B=512 S=512 H=16 D=64 int8): XLA's fused
+    dequant+attention runs this shape at ~400 GB/s of int8 reads vs this
+    kernel's ~61 GB/s — the (B, 1) grid gives one small VPU-bound program
+    per batch row and no cross-row pipelining, so XLA stays the default
+    backend (`modules/transformer.py:34`); the kernel is the building block
+    for shapes XLA handles poorly (very long caches that blow the logits
+    buffer, finite `past_context` windows over long S).
     """
     B, H, D = q.shape
     S = k_cache.shape[1]
     s_blk = _pick_block(S)
     n_blk = S // s_blk
     length_arr = jnp.full((1,), length, jnp.int32)
+    quantized = k_scale is not None
     kernel = functools.partial(_decode_attn_kernel, s_blk=s_blk, n_blk=n_blk,
-                               past_context=past_context)
+                               past_context=past_context, quantized=quantized)
+    kv_spec = pl.BlockSpec((1, s_blk, H, D), lambda b, s: (b, s, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, H, D), lambda b, s: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        kv_spec,
+        kv_spec,
+    ]
+    operands = [length_arr, q, k_cache, v_cache]
+    if quantized:
+        scale_spec = pl.BlockSpec((1, s_blk, H), lambda b, s: (b, s, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs += [scale_spec, scale_spec]
+        operands += [k_scale.reshape(B, S, H), v_scale.reshape(B, S, H)]
     # Mosaic lowering is TPU-only; fall back to the Pallas interpreter on CPU
     # so the kernel stays testable on the host mesh.
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         kernel,
         grid=(B, n_blk),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H, D), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_blk, H, D), lambda b, s: (b, s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_blk, H, D), lambda b, s: (b, s, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, D), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
@@ -119,4 +153,4 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
             pltpu.VMEM((H, D), jnp.float32),   # running numerator
         ],
         interpret=interpret,
-    )(length_arr, q, k_cache, v_cache)
+    )(*operands)

@@ -53,6 +53,48 @@ def test_decode_attention_multiblock_online_softmax():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_decode_attention_int8_cache():
+    """int8 KV + per-(step, head) scales dequantized inside the kernel."""
+    B, S, H, D = 2, 64, 4, 16
+    q = _rand(11, B, H, D)
+    k, v = _rand(12, B, S, H, D), _rand(13, B, S, H, D)
+    k_s = jnp.max(jnp.abs(k), axis=-1, keepdims=True) / 127.0
+    v_s = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0
+    k_q = jnp.round(k / jnp.maximum(k_s, 1e-8)).astype(jnp.int8)
+    v_q = jnp.round(v / jnp.maximum(v_s, 1e-8)).astype(jnp.int8)
+    out = decode_attention(q, k_q, v_q, jnp.asarray(37, jnp.int32),
+                           k_scale=k_s.astype(jnp.bfloat16),
+                           v_scale=v_s.astype(jnp.bfloat16))
+    # reference: XLA path over the dequantized buffers (what cache.read does)
+    ref = _reference(q, k_q.astype(jnp.float32) * k_s.astype(jnp.bfloat16)
+                     .astype(jnp.float32),
+                     v_q.astype(jnp.float32) * v_s.astype(jnp.bfloat16)
+                     .astype(jnp.float32), 37)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_pallas_backend_in_transformer_decode_int8():
+    """Full MHA decode step with an int8 cache: pallas == xla backend."""
+    from audiocraft_tpu.modules import transformer as trn
+
+    mha = trn.StreamingMultiheadAttention(embed_dim=32, num_heads=4,
+                                          causal=True)
+    x0 = _rand(14, 2, 5, 32)
+    params = mha.init(jax.random.PRNGKey(0), x0, x0, x0)
+    cache = trn.KVCache.create(2, 16, 4, 8, dtype=jnp.int8)
+    _, cache = mha.apply(params, x0, x0, x0, cache=cache)
+    x1 = _rand(15, 2, 1, 32)
+    try:
+        trn.set_efficient_attention_backend("pallas")
+        out_pl, _ = mha.apply(params, x1, x1, x1, cache=cache)
+    finally:
+        trn.set_efficient_attention_backend("xla")
+    out_xla, _ = mha.apply(params, x1, x1, x1, cache=cache)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_pallas_backend_in_transformer_decode():
     """StreamingMultiheadAttention decode step: pallas == xla backend."""
     from audiocraft_tpu.modules import transformer as trn
