@@ -84,9 +84,9 @@ class JASCO:
         from . import loaders
         compression_model, compression_vars = \
             loaders.load_compression_model(name)
-        chords_mapping = kwargs.pop(
-            "chords_mapping_path",
-            "/root/reference/assets/chord_to_index_mapping.pkl")
+        from ..utils.assets import chord_mapping_path
+        chords_mapping = kwargs.pop("chords_mapping_path",
+                                    chord_mapping_path())
         model, params, cfg = loaders.load_jasco_model(
             name, chords_mapping_path=chords_mapping)
         return JASCO(

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..ops.attention import (dot_product_attention, make_causal_bias, repeat_kv)
+from ..ops.quant import qdot
 from .activations import get_activation_fn
 from .rope import RopeConfig, rope_rotate
 
@@ -117,6 +118,30 @@ class KVCache:
         return self.k.astype(dtype), self.v.astype(dtype)
 
 
+class QDense(nn.Module):
+    """`nn.Dense` drop-in whose kernel may be a `QTensor` (the W8A8 int8
+    serving mode, `ops/quant.py`). Param names/paths match `nn.Dense`
+    ("kernel"/"bias") so bf16 checkpoints load unchanged; with plain-array
+    kernels the math is identical to `nn.Dense`."""
+    features: int
+    use_bias: bool = True
+    dtype: tp.Any = jnp.float32
+    param_dtype: tp.Any = jnp.float32
+    kernel_init: tp.Any = nn.initializers.lecun_normal()
+    bias_init: tp.Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), self.param_dtype)
+        y = qdot(x.astype(self.dtype), kernel, self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class LayerScale(nn.Module):
     """Diagonal residual rescaling (`transformer.py:112-136`)."""
     channels: int
@@ -171,10 +196,10 @@ class StreamingMultiheadAttention(nn.Module):
             # torch convention: in_proj bias zeroed (`transformer.py:203-205`)
             self.in_proj_bias = self.param("in_proj_bias", nn.initializers.zeros,
                                            (out_dim,), self.param_dtype)
-        self.out_proj = nn.Dense(self.embed_dim, use_bias=self.use_bias,
-                                 bias_init=nn.initializers.zeros,
-                                 dtype=self.dtype, param_dtype=self.param_dtype,
-                                 name="out_proj")
+        self.out_proj = QDense(self.embed_dim, use_bias=self.use_bias,
+                               bias_init=nn.initializers.zeros,
+                               dtype=self.dtype, param_dtype=self.param_dtype,
+                               name="out_proj")
         if self.qk_layer_norm:
             assert self.kv_repeat == 1
             self.q_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
@@ -188,7 +213,7 @@ class StreamingMultiheadAttention(nn.Module):
 
     def _project_q(self, query: jax.Array) -> jax.Array:
         w = self.in_proj_weight[:, :self.embed_dim]
-        q = query @ w.astype(query.dtype)
+        q = qdot(query, w, query.dtype)
         if self.use_bias:
             q = q + self.in_proj_bias[:self.embed_dim].astype(q.dtype)
         return q
@@ -197,7 +222,7 @@ class StreamingMultiheadAttention(nn.Module):
         """Project keys/values only (cross-attention precompute)."""
         E = self.embed_dim
         w = self.in_proj_weight[:, E:]
-        kv = src.astype(self.dtype) @ w.astype(self.dtype)
+        kv = qdot(src.astype(self.dtype), w, self.dtype)
         if self.use_bias:
             kv = kv + self.in_proj_bias[E:].astype(kv.dtype)
         k, v = jnp.split(kv, 2, axis=-1)
@@ -236,7 +261,7 @@ class StreamingMultiheadAttention(nn.Module):
             return self.out_proj(x.reshape(B, T, -1)), cache
 
         # --- self-attention: fused qkv ---
-        projected = query @ self.in_proj_weight.astype(dtype)
+        projected = qdot(query, self.in_proj_weight, dtype)
         if self.use_bias:
             projected = projected + self.in_proj_bias.astype(dtype)
         E = self.embed_dim
@@ -350,11 +375,11 @@ class StreamingTransformerLayer(nn.Module):
             causal=self.causal, past_context=self.past_context, rope=self.rope,
             qk_layer_norm=self.qk_layer_norm, kv_repeat=self.kv_repeat, **common)
         ffn_mult = 2 if self.activation in _GLU_KINDS else 1
-        self.linear1 = nn.Dense(self.dim_feedforward * ffn_mult,
-                                use_bias=self.use_bias_ff, dtype=self.dtype,
-                                param_dtype=self.param_dtype)
-        self.linear2 = nn.Dense(self.d_model, use_bias=self.use_bias_ff,
-                                dtype=self.dtype, param_dtype=self.param_dtype)
+        self.linear1 = QDense(self.dim_feedforward * ffn_mult,
+                              use_bias=self.use_bias_ff, dtype=self.dtype,
+                              param_dtype=self.param_dtype)
+        self.linear2 = QDense(self.d_model, use_bias=self.use_bias_ff,
+                              dtype=self.dtype, param_dtype=self.param_dtype)
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                   param_dtype=self.param_dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,

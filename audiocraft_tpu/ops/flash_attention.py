@@ -119,7 +119,18 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     s_blk = _pick_block(S)
     n_blk = S // s_blk
     length_arr = jnp.full((1,), length, jnp.int32)
+    # fail fast on half-specified quantization (a lone k_scale would only
+    # crash later with an opaque AttributeError on v_scale.reshape)
+    assert (k_scale is None) == (v_scale is None), \
+        "pass both k_scale and v_scale or neither"
     quantized = k_scale is not None
+    assert not quantized or k_cache.dtype == jnp.int8, \
+        f"scales require int8 caches, got {k_cache.dtype}"
+    # NOTE: CI exercises the quantized 3-D scale BlockSpec only through the
+    # Pallas interpreter (interpret=True off-TPU); the Mosaic lowering of
+    # the int8 path is covered by the TPU-marked test in
+    # tests/ops/test_flash_attention.py (runs when a real TPU is attached)
+    # and was measured on-chip 2026-08-18.
     kernel = functools.partial(_decode_attn_kernel, s_blk=s_blk, n_blk=n_blk,
                                past_context=past_context, quantized=quantized)
     kv_spec = pl.BlockSpec((1, s_blk, H, D), lambda b, s: (b, s, 0, 0),

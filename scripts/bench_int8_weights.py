@@ -5,7 +5,8 @@ Small-batch decode latency is weight-streaming-bound (musicgen-small streams
 three candidate int8 formulations on the real chip with the checksum-drain
 completion barrier (see bench.py `_drain`). Run: `python scripts/bench_int8_weights.py`.
 
-Findings (v5e, 2026-08-18, L=16 pairs of [2048x8192] weights = 512 MB bf16,
+Findings (v5e, 2026-08-18, L=16 pairs = 32 [2048x8192] weights = 1 GB bf16
+streamed per iteration,
 B=8 matvec chain with a tanh between every matmul so XLA cannot reassociate
 the dot chain out of the scan):
 
@@ -47,7 +48,10 @@ def drain(a):
 
 
 def quantize(w):
-    s = (jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0).astype(jnp.float32)
+    # eps floor matches the activation-quant guard: an all-zero column must
+    # quantize to zeros, not 0/0 = NaN
+    s = (jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-8)
+         / 127.0).astype(jnp.float32)
     return jnp.round(w.astype(jnp.float32) / s).astype(jnp.int8), s.astype(jnp.bfloat16)
 
 

@@ -1,8 +1,13 @@
 """Pallas flash-decode attention vs the XLA einsum reference (interpret mode
 on the CPU test mesh; the same kernel lowers through Mosaic on TPU)."""
+import os
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from audiocraft_tpu.ops.flash_attention import decode_attention
 
@@ -115,3 +120,44 @@ def test_pallas_backend_in_transformer_decode():
     out_xla, _ = mha.apply(params, x1, x1, x1, cache=cache)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.environ.get("AUDIOCRAFT_TPU_TESTS"),
+                    reason="needs a real TPU (set AUDIOCRAFT_TPU_TESTS=1); "
+                    "the suite pins JAX_PLATFORMS=cpu so the Mosaic "
+                    "lowering must run in a subprocess on hardware")
+def test_decode_attention_int8_mosaic_on_tpu():
+    """Mosaic (non-interpreter) lowering of the quantized int8 path: the
+    3-D bf16 scale BlockSpec (1, s_blk, H) is otherwise only exercised
+    through the Pallas interpreter off-TPU (ADVICE r3)."""
+    script = r"""
+import jax, jax.numpy as jnp, numpy as np
+from audiocraft_tpu.ops.flash_attention import decode_attention
+assert jax.default_backend() == "tpu", jax.default_backend()
+B, S, H, D = 2, 128, 4, 32
+ks = [jax.random.PRNGKey(i) for i in range(3)]
+q = jax.random.normal(ks[0], (B, H, D), jnp.float32)
+k = jax.random.normal(ks[1], (B, S, H, D), jnp.float32)
+v = jax.random.normal(ks[2], (B, S, H, D), jnp.float32)
+k_s = jnp.max(jnp.abs(k), axis=-1, keepdims=True) / 127.0
+v_s = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0
+k_q = jnp.round(k / jnp.maximum(k_s, 1e-8)).astype(jnp.int8)
+v_q = jnp.round(v / jnp.maximum(v_s, 1e-8)).astype(jnp.int8)
+out = decode_attention(q, k_q, v_q, jnp.asarray(77, jnp.int32),
+                       k_scale=k_s.astype(jnp.bfloat16),
+                       v_scale=v_s.astype(jnp.bfloat16))
+kd = k_q.astype(jnp.float32) * k_s.astype(jnp.bfloat16).astype(jnp.float32)
+vd = v_q.astype(jnp.float32) * v_s.astype(jnp.bfloat16).astype(jnp.float32)
+mask = (jnp.arange(S) < 77)[None, :, None]
+logits = jnp.einsum("bhd,bshd->bhs", q, kd) / np.sqrt(D)
+logits = jnp.where(mask.transpose(0, 2, 1), logits, -1e30)
+ref = jnp.einsum("bhs,bshd->bhd", jax.nn.softmax(logits, -1), vd)
+np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                           atol=2e-3, rtol=2e-3)
+print("MOSAIC_INT8_OK")
+"""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "XLA_FLAGS")}
+    proc = subprocess.run([sys.executable, "-c", script], env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert "MOSAIC_INT8_OK" in proc.stdout, proc.stderr[-2000:]
