@@ -125,6 +125,8 @@ def get_conditioners(output_dim: int, cfg) -> tp.Dict[str, BaseConditioner]:
             from ..modules.conditioners import CLAPEmbeddingConditioner
             model_args.pop("device", None)
             model_args.pop("cache_path", None)
+            model_args.pop("attribute", None)   # passed explicitly below
+            model_args.pop("kmeans_iters", None)  # RVQ uses EMA re-init here
             conditioners[str(cond)] = CLAPEmbeddingConditioner(
                 output_dim=output_dim, attribute=str(cond), **model_args)
         elif model_type in ("chords_emb", "drum_latents", "melody"):

@@ -1060,27 +1060,113 @@ class JointEmbeddingConditioner(BaseConditioner):
         return out, jnp.ones_like(out[..., 0]) * valid
 
 
+# CLAPEmbedder instances keyed by resolved checkpoint path: flax may clone
+# module instances, and the towers are heavy (one jitted program per tower)
+_CLAP_EMBEDDER_CACHE: tp.Dict[str, tp.Any] = {}
+
+
 class CLAPEmbeddingConditioner(JointEmbeddingConditioner):
-    """CLAP joint embedding (`conditioners.py:1067-1130`). Requires the
-    `laion_clap` package and a local checkpoint — both absent from this image,
-    so construction is gated with a clear error. The quantization/projection
-    path above is fully implemented and tested through a stub embedder."""
+    """CLAP joint-embedding conditioner (`conditioners.py:1067-1293`) over
+    the first-party JAX CLAP towers (`modules/clap.py`) — no `laion_clap`
+    dependency. Host side (`_get_embed`): at train time embeds the AUDIO
+    with probability `1 - text_p` (10 s windows with `audio_stride`-second
+    stride, window embeddings averaged — ref `_compute_wav_embedding`) and
+    the TEXT otherwise; at eval always the text. Null conditions (wav of
+    length <= 1 / empty text) get a zero validity mask. The RVQ bottleneck
+    and output projection are inherited from JointEmbeddingConditioner.
+
+    Train mode and the text_p draw are host-side state — flax modules are
+    frozen dataclasses — set via `set_joint_embed_train(cond, training)`.
+    Construction never touches the checkpoint; the embedder is resolved on
+    first `_get_embed` (checkpoint field -> env-resolved path, else
+    `find_clap_checkpoint()` probing CLAP_CHECKPOINT/AUDIOCRAFT_CACHE_DIR).
+    """
     checkpoint: str = ""
     model_arch: str = "HTSAT-base"
     enable_fusion: bool = False
+    sample_rate: int = 48000
+    max_audio_length: int = 10
+    audio_stride: int = 1
+    normalize: bool = True
     text_p: float = 0.0
-
-    def _gate(self):
-        raise ImportError(
-            "CLAPEmbeddingConditioner needs the `laion_clap` package and a "
-            "local checkpoint (zero-egress image). Subclass "
-            "JointEmbeddingConditioner with your own `_get_embed` instead.")
-
-    def _get_embed(self, x):
-        self._gate()
+    batch_size: tp.Optional[int] = None
 
     def setup(self):
-        self._gate()
+        assert not self.enable_fusion, \
+            "fusion CLAP variants are not supported"
+
+    def _embedder(self):
+        from pathlib import Path
+
+        from ..environment import AudioCraftEnvironment
+        from .clap import CLAPEmbedder, find_clap_checkpoint
+        path = self.checkpoint
+        if path:
+            path = str(AudioCraftEnvironment.resolve_reference_path(path))
+        resolved = Path(path) if path and Path(path).exists() \
+            else find_clap_checkpoint()
+        if resolved is None:
+            raise RuntimeError(
+                f"CLAPEmbeddingConditioner: no CLAP checkpoint at "
+                f"{self.checkpoint!r} and none found via CLAP_CHECKPOINT / "
+                "AUDIOCRAFT_CACHE_DIR (zero-egress image: drop a local "
+                "laion-CLAP or HF ClapModel state dict).")
+        key = str(resolved)
+        if key not in _CLAP_EMBEDDER_CACHE:
+            _CLAP_EMBEDDER_CACHE[key] = CLAPEmbedder.from_checkpoint(resolved)
+        return _CLAP_EMBEDDER_CACHE[key]
+
+    def _get_embed(self, x: JointEmbedCondition
+                   ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        emb = self._embedder()
+        training = bool(getattr(self, "_train_mode", False))
+        rng = getattr(self, "_host_rng", None) or np.random
+        use_text = (not training) or (float(rng.uniform()) < self.text_p)
+        texts = [t if t is not None else "" for t in x.text]
+        B = len(texts)
+        valid = np.ones((B, 1), np.float32)
+        if use_text:
+            embed = np.asarray(emb.embed_text(texts), np.float32)
+            for i, t in enumerate(texts):
+                if t == "":
+                    valid[i] = 0.0
+        else:
+            wav = np.asarray(x.wav, np.float32)  # [B, C, T]
+            outs = []
+            for i in range(B):
+                sr = int(np.asarray(x.sample_rate).reshape(-1)[i])
+                w = wav[i]
+                if w.shape[-1] <= 1 or sr <= 0:  # nullified condition
+                    valid[i] = 0.0
+                    outs.append(None)
+                    continue
+                win = int(self.max_audio_length * sr)
+                stride = max(int(self.audio_stride * sr), 1)
+                T = w.shape[-1]
+                if T <= win:
+                    chunks = w[None]
+                else:  # sliding 10 s windows, stride audio_stride seconds
+                    chunks = np.stack([w[:, s:s + win]
+                                       for s in range(0, T - win + 1, stride)])
+                outs.append(np.asarray(emb.embed_audio(chunks, sr),
+                                       np.float32).mean(axis=0))
+            dim = next((o.shape[-1] for o in outs if o is not None),
+                       self.dim or 512)
+            embed = np.stack([o if o is not None
+                              else np.zeros(dim, np.float32) for o in outs])
+        if self.normalize:
+            embed = embed / np.maximum(
+                np.linalg.norm(embed, axis=-1, keepdims=True), 1e-8)
+        return embed, valid
+
+
+def set_joint_embed_train(conditioner: JointEmbeddingConditioner,
+                          training: bool, seed: int = 0) -> None:
+    """Set host-side train mode (and the text_p RNG) on a joint-embedding
+    conditioner. flax modules are frozen dataclasses, so this mirrors
+    `set_style_params` below and mutates via object.__setattr__."""
+    object.__setattr__(conditioner, "_train_mode", bool(training))
+    object.__setattr__(conditioner, "_host_rng", np.random.RandomState(seed))
 
 
 def set_style_params(conditioner: "StyleConditioner", *, eval_q: int = 3,

@@ -98,13 +98,13 @@ def make_train_step(model: LMModel, optimizer: optax.GradientTransformation,
     via `mask_padding`).
     """
 
-    def loss_fn(params, codes, tokenized, padding_mask, rng):
-        condition_tensors = model.apply(params, tokenized,
+    def loss_fn(variables, codes, tokenized, padding_mask, rng):
+        condition_tensors = model.apply(variables, tokenized,
                                         method=LMModel.compute_conditions)
         # pin conditioner activations to batch sharding (see
         # parallel/mesh.py:constrain_batch — kills an SPMD full-remat)
         condition_tensors = constrain_batch(condition_tensors, mesh)
-        out = model.apply(params, codes, condition_tensors,
+        out = model.apply(variables, codes, condition_tensors,
                           method=LMModel.compute_predictions,
                           rngs={"dropout": rng}, deterministic=False)
         mask = out.mask & (codes != model.special_token_id)
@@ -112,11 +112,20 @@ def make_train_step(model: LMModel, optimizer: optax.GradientTransformation,
         return ce, ce_q
 
     def step(state: TrainState, codes, tokenized, padding_mask, rng):
-        (ce, ce_q), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, codes, tokenized, padding_mask, rng)
+        variables = state.params
+        trainable = trainable_params(variables)
+
+        # differentiate only the flax "params" collection: auxiliary
+        # collections (e.g. the RVQ "quantizer" buffers of joint-embed
+        # conditioners) carry bool/int leaves and are not optimizer targets
+        def wrapped(tr, *args):
+            return loss_fn(_with_trainable(variables, tr), *args)
+
+        (ce, ce_q), grads = jax.value_and_grad(wrapped, has_aux=True)(
+            trainable, codes, tokenized, padding_mask, rng)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-        new_params = optax.apply_updates(state.params, updates)
+                                                  trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
         grad_norm = optax.global_norm(grads)
         metrics = {
             "ce": ce,
@@ -125,7 +134,8 @@ def make_train_step(model: LMModel, optimizer: optax.GradientTransformation,
             **{f"ce_q{k + 1}": ce_q[k] for k in range(model.n_q)},
             **{f"ppl_q{k + 1}": jnp.exp(ce_q[k]) for k in range(model.n_q)},
         }
-        return TrainState(step=state.step + 1, params=new_params,
+        return TrainState(step=state.step + 1,
+                          params=_with_trainable(variables, new_trainable),
                           opt_state=new_opt_state), metrics
 
     if mesh is None:
@@ -159,10 +169,27 @@ def make_eval_step(model: LMModel):
     return jax.jit(eval_step)
 
 
+def trainable_params(variables):
+    """The optimized sub-collection of a flax variables dict: "params" only.
+    Auxiliary collections (e.g. the joint-embed RVQ "quantizer" buffers,
+    which hold bool/int leaves) ride along in TrainState.params untouched."""
+    if isinstance(variables, tp.Mapping) and "params" in variables:
+        return variables["params"]
+    return variables
+
+
+def _with_trainable(variables, new_trainable):
+    if isinstance(variables, tp.Mapping) and "params" in variables:
+        out = dict(variables)
+        out["params"] = new_trainable
+        return out
+    return new_trainable
+
+
 def init_train_state(model: LMModel, params,
                      optimizer: optax.GradientTransformation) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=optimizer.init(params))
+                      opt_state=optimizer.init(trainable_params(params)))
 
 
 def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
@@ -171,12 +198,19 @@ def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
     replicated."""
     param_sh = infer_shardings(state.params, mesh)
     param_treedef = jax.tree_util.tree_structure(state.params)
+    # optimizer moments mirror the trainable ("params") subtree only
+    trainable_treedef = jax.tree_util.tree_structure(
+        trainable_params(state.params))
+    trainable_sh = trainable_params(param_sh)
     rep = NamedSharding(mesh, P())
 
     def rec(node):
         try:
-            if jax.tree_util.tree_structure(node) == param_treedef:
+            structure = jax.tree_util.tree_structure(node)
+            if structure == param_treedef:
                 return param_sh
+            if structure == trainable_treedef:
+                return trainable_sh
         except Exception:
             pass
         if isinstance(node, tuple) and hasattr(node, "_fields"):  # namedtuple

@@ -65,12 +65,24 @@ def test_joint_embed_attribute_dropout():
     assert tokenized["description"]["valid"].sum() == 0
 
 
-def test_clap_conditioner_is_gated():
-    with pytest.raises(ImportError, match="laion_clap"):
-        c = CLAPEmbeddingConditioner(output_dim=16)
-        c.init(jax.random.PRNGKey(0),
-               {"embed": np.zeros((1, 8), np.float32),
-                "valid": np.ones((1, 1), np.float32)})
+def test_clap_conditioner_constructs_without_checkpoint():
+    """Construction and device-side init never touch the checkpoint; only
+    the first host-side `_get_embed` resolves it (and raises a clear error
+    when none exists). Full embed-path coverage with a tiny replica
+    checkpoint lives in tests/models/test_clap_conditioner.py."""
+    c = CLAPEmbeddingConditioner(output_dim=16, checkpoint="/nonexistent.pt")
+    variables = c.init(jax.random.PRNGKey(0),
+                       {"embed": np.zeros((1, 8), np.float32),
+                        "valid": np.ones((1, 1), np.float32)})
+    emb, mask = c.apply(variables,
+                        {"embed": np.ones((1, 8), np.float32),
+                         "valid": np.ones((1, 1), np.float32)})
+    assert emb.shape == (1, 1, 16)
+    with pytest.raises(RuntimeError, match="no CLAP checkpoint"):
+        c._get_embed(JointEmbedCondition(
+            wav=np.zeros((1, 1, 1), np.float32), text=["hi"],
+            length=np.array([1]), sample_rate=[48000], path=[None],
+            seek_time=[None]))
 
 
 def test_chroma_embedding_cache(tmp_path):
