@@ -17,7 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .musicgen import MusicGenSolver, TrainState, apply_condition_dropout, mask_padding
+from .musicgen import (MusicGenSolver, TrainState, _with_trainable,
+                       apply_condition_dropout, mask_padding,
+                       trainable_params)
 
 
 def calc_mean_maskrate_to_u_LUT(T: int, L: int) -> np.ndarray:
@@ -113,12 +115,22 @@ class MagnetSolver(MusicGenSolver):
             return ce
 
         def step(state, input_tokens, targets, loss_mask, tokenized):
-            ce, grads = jax.value_and_grad(loss_fn)(
-                state.params, input_tokens, targets, loss_mask, tokenized)
+            # differentiate only the flax "params" collection so the grad
+            # tree matches the optimizer state (init_train_state inits the
+            # moments on trainable_params; aux collections ride along)
+            variables = state.params
+            trainable = trainable_params(variables)
+
+            def wrapped(tr, *args):
+                return loss_fn(_with_trainable(variables, tr), *args)
+
+            ce, grads = jax.value_and_grad(wrapped)(
+                trainable, input_tokens, targets, loss_mask, tokenized)
             updates, new_opt = optimizer.update(grads, state.opt_state,
-                                                state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            return TrainState(step=state.step + 1, params=new_params,
+                                                trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            return TrainState(step=state.step + 1,
+                              params=_with_trainable(variables, new_trainable),
                               opt_state=new_opt), {"ce": ce, "ppl": jnp.exp(ce)}
 
         fn = jax.jit(step, donate_argnums=(0,))
