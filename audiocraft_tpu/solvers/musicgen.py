@@ -304,8 +304,11 @@ class MusicGenSolver(SolverRunMixin):
                      if v is not None}
         param_groups = None
         if overrides:
+            # labels must span the same tree the optimizer sees: the step
+            # differentiates/updates trainable_params(variables), not the
+            # full variables dict
             param_groups = builders.get_optim_parameter_groups(
-                params, {"transformer": overrides})
+                trainable_params(params), {"transformer": overrides})
         self.optimizer = builders.get_optimizer(optim_cfg, total_updates,
                                                 param_groups=param_groups)
         self.state = init_train_state(self.model, params, self.optimizer)
