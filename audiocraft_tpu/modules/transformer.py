@@ -16,7 +16,9 @@ TPU-first design:
     re-rotating the whole past each step like the reference.
   * Cross-attention K/V are precomputed once per generation
     (`precompute_cross_kv`) instead of re-projected every step.
-  * `checkpointing='torch'` maps to `jax.checkpoint` over each layer.
+  * `checkpointing='torch'` maps to `jax.checkpoint` over each layer with
+    full in-layer recompute (reference torch.utils.checkpoint semantics);
+    'dots' keeps matmul outputs (`jax.checkpoint_policies.dots_saveable`).
 """
 import typing as tp
 
@@ -25,7 +27,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.attention import (dot_product_attention, make_causal_bias, repeat_kv)
+from ..ops.attention import (dot_product_attention, flash_causal_attention,
+                             flash_causal_eligible, make_causal_bias,
+                             repeat_kv)
 from ..ops.quant import qdot
 from .activations import get_activation_fn
 from .rope import RopeConfig, rope_rotate
@@ -317,6 +321,17 @@ class StreamingMultiheadAttention(nn.Module):
                 pos = jnp.arange(T)
                 q = rope_rotate(self.rope, q, pos)
                 k = rope_rotate(self.rope, k, pos, invert_decay=True)
+            if (self.causal and self.past_context is None
+                    and attn_bias is None
+                    and flash_causal_eligible(T, T, self.embed_dim
+                                              // self.num_heads)):
+                # full-sequence causal training/prefill forward: the Pallas
+                # flash kernel (fwd + custom-VJP bwd) never materializes the
+                # [B, H, T, T] logits — the enabler for no-remat 30 s
+                # training steps on one chip (bench.py train30)
+                x = flash_causal_attention(q, repeat_kv(k, self.kv_repeat),
+                                           repeat_kv(v, self.kv_repeat))
+                return self.out_proj(x.reshape(B, T, -1)), cache
             bias = None
             if self.causal:
                 pos = jnp.arange(T)
@@ -492,7 +507,15 @@ class StreamingTransformer(nn.Module):
     kv_repeat: int = 1
     norm_first: bool = True
     activation: str = "gelu"
-    checkpointing: str = "none"   # 'none' | 'torch' (jax.checkpoint per layer)
+    # 'none' | 'torch' | 'dots'. 'torch' matches the reference's
+    # torch.utils.checkpoint semantics (`transformer.py:141-149`): save only
+    # layer-boundary activations and recompute everything inside the layer
+    # in backward — the only policy whose activation footprint fits 30 s
+    # sequences (T=1500) on one 16 GB v5e chip (dots_saveable would keep
+    # the [B, H, T, T] attention logits: 576 MB/layer at TB=4). 'dots' is
+    # the TPU middle ground (jax.checkpoint_policies.dots_saveable): ~9%
+    # step cost at 10 s shapes where the logits still fit.
+    checkpointing: str = "none"
     # lr/weight_decay overrides for per-module optim groups (`transformer.py:715-721`)
     lr: tp.Optional[float] = None
     weight_decay: tp.Optional[float] = None
@@ -569,13 +592,16 @@ class StreamingTransformer(nn.Module):
                                      deterministic=deterministic)
             else:
                 # jax.checkpoint: recompute layer activations in backward
+                assert self.checkpointing in ("torch", "dots"), \
+                    self.checkpointing
+
                 def apply_layer(mdl, h):
                     y, _ = mdl(h, cross_attention_src=cross_attention_src,
                                attn_bias=attn_bias, deterministic=deterministic)
                     return y
-                x = nn.checkpoint(apply_layer,
-                                  policy=jax.checkpoint_policies.dots_saveable
-                                  )(layer, x)
+                policy = (jax.checkpoint_policies.dots_saveable
+                          if self.checkpointing == "dots" else None)
+                x = nn.checkpoint(apply_layer, policy=policy)(layer, x)
                 new_cache = None
             if new_caches is not None:
                 new_caches.append(new_cache)

@@ -13,6 +13,60 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 
+# Training/prefill attention backend: "auto" routes causal self-attention
+# with no extra bias through the Pallas TPU flash-attention kernel (fwd +
+# custom-VJP bwd, jax.experimental.pallas.ops.tpu.flash_attention) when on
+# TPU and the sequence is long enough to matter. The kernel never
+# materializes the [B, H, T, T] logits — at the reference 30 s train shape
+# (T=1500) that is the difference between fitting one 16 GB chip without
+# remat and OOMing at TB>=4 (see bench.py train30). "xla" forces the
+# einsum+softmax path (always used on CPU and for biased/short cases).
+_TRAIN_ATTENTION_BACKEND = "auto"
+_FLASH_MIN_SEQ = 256
+
+
+def set_train_attention_backend(backend: str = "auto") -> None:
+    global _TRAIN_ATTENTION_BACKEND
+    assert backend in ("auto", "xla"), backend
+    _TRAIN_ATTENTION_BACKEND = backend
+
+
+def flash_causal_eligible(q_len: int, k_len: int, head_dim: int) -> bool:
+    """True when the Pallas flash kernel serves this full-sequence causal
+    self-attention: TPU backend, square q/k (no cache offset), long enough
+    that kernel launch overhead pays for itself, lane-friendly head dim."""
+    return (_TRAIN_ATTENTION_BACKEND == "auto"
+            and q_len == k_len
+            and q_len >= _FLASH_MIN_SEQ
+            and head_dim % 64 == 0
+            and jax.default_backend() == "tpu")
+
+
+def flash_causal_attention(q: jax.Array, k: jax.Array,
+                           v: jax.Array) -> jax.Array:
+    """Causal flash attention on [B, T, H, D] tensors via the Pallas TPU
+    kernel. T is right-padded to a 128 multiple: pad keys sit AFTER every
+    real query so the causal mask already excludes them (no segment ids
+    needed), and pad-query outputs are sliced off; their gradients are
+    exactly zero for the same reason."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+    B, T, H, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    Tp = -(-T // 128) * 128
+    pad = Tp - T
+
+    def to_bhtd(x):
+        x = jnp.moveaxis(x, 1, 2)  # [B, H, T, D]
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x
+
+    block = BlockSizes.get_default(B, H, Tp, Tp, D)
+    out = flash_attention(to_bhtd(q), to_bhtd(k), to_bhtd(v), causal=True,
+                          sm_scale=scale, block_sizes=block)
+    return jnp.moveaxis(out[:, :, :T], 2, 1)
+
 
 def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     """GQA repeat-interleave on the heads axis (`transformer.py:92-109`)."""

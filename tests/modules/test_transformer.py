@@ -144,3 +144,27 @@ def test_layer_scale_and_qk_layer_norm():
     flat = jax.tree_util.tree_leaves_with_path(params)
     names = ["/".join(str(p) for p in path) for path, _ in flat]
     assert any("scale" in n for n in names)
+
+
+@pytest.mark.parametrize("mode", ["torch", "dots"])
+def test_checkpointing_matches_no_remat(mode):
+    """Remat modes must change memory, not math: forward outputs and
+    gradients equal the checkpointing='none' step. 'torch' = reference
+    torch.utils.checkpoint semantics (save layer boundaries only, the only
+    policy that fits 30 s sequences on one chip); 'dots' = dots_saveable."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 16))
+    tr0 = _make(checkpointing="none")
+    params = tr0.init(jax.random.PRNGKey(1), x)
+
+    def loss(tr):
+        def f(p, x):
+            y, _ = tr.apply(p, x)
+            return jnp.sum(y ** 2)
+        return f
+
+    y0, g0 = jax.value_and_grad(loss(tr0))(params, x)
+    trc = _make(checkpointing=mode)
+    yc, gc = jax.value_and_grad(loss(trc))(params, x)
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(y0), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
