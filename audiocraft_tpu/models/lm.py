@@ -339,8 +339,19 @@ def _cache_put(cache, key, value):
 _CACHE_GROWTH_FRACS: tp.Tuple[float, ...] = (0.375, 0.625, 1.0)
 _fracs_env = os.environ.get("AUDIOCRAFT_CACHE_GROWTH_FRACS")
 if _fracs_env:
-    _CACHE_GROWTH_FRACS = tuple(float(x) for x in _fracs_env.split(","))
-    assert _CACHE_GROWTH_FRACS[-1] == 1.0, _CACHE_GROWTH_FRACS
+    try:
+        _CACHE_GROWTH_FRACS = tuple(float(x) for x in _fracs_env.split(","))
+    except ValueError as e:
+        raise ValueError(
+            f"AUDIOCRAFT_CACHE_GROWTH_FRACS={_fracs_env!r}: comma-separated "
+            f"floats expected ({e})") from None
+    if (not _CACHE_GROWTH_FRACS
+            or any(not 0.0 < f <= 1.0 for f in _CACHE_GROWTH_FRACS)
+            or list(_CACHE_GROWTH_FRACS) != sorted(set(_CACHE_GROWTH_FRACS))
+            or _CACHE_GROWTH_FRACS[-1] != 1.0):
+        raise ValueError(
+            f"AUDIOCRAFT_CACHE_GROWTH_FRACS={_fracs_env!r}: fractions must "
+            f"be strictly increasing in (0, 1] and end with 1.0")
 
 
 def jit_compute_conditions(model: LMModel, params, tokenized):

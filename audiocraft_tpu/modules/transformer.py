@@ -235,10 +235,19 @@ class StreamingMultiheadAttention(nn.Module):
         num_kv = self.num_heads // self.kv_repeat
         return self._split_heads(k, num_kv), self._split_heads(v, num_kv)
 
+    def _attn_dropout_args(self, deterministic: bool) -> dict:
+        """Attention-probs dropout kwargs (`transformer.py:411,436`): active
+        only in train mode; draws from the 'dropout' rng collection."""
+        if deterministic or self.dropout <= 0.0:
+            return {}
+        return {"dropout_rate": self.dropout,
+                "dropout_rng": self.make_rng("dropout")}
+
     def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array, *,
                  cache: tp.Optional[KVCache] = None,
                  cross_kv: tp.Optional[tp.Tuple[jax.Array, jax.Array]] = None,
                  attn_bias: tp.Optional[jax.Array] = None,
+                 deterministic: bool = True,
                  ) -> tp.Tuple[jax.Array, tp.Optional[KVCache]]:
         """Returns (out [B, T, E], updated cache or None).
 
@@ -261,7 +270,8 @@ class StreamingMultiheadAttention(nn.Module):
             else:
                 k, v = self.project_kv(key.astype(dtype))
             x = dot_product_attention(q, k, v, bias=attn_bias,
-                                      as_float32=self.attention_as_float32)
+                                      as_float32=self.attention_as_float32,
+                                      **self._attn_dropout_args(deterministic))
             return self.out_proj(x.reshape(B, T, -1)), cache
 
         # --- self-attention: fused qkv ---
@@ -323,6 +333,11 @@ class StreamingMultiheadAttention(nn.Module):
                 k = rope_rotate(self.rope, k, pos, invert_decay=True)
             if (self.causal and self.past_context is None
                     and attn_bias is None
+                    # f32-logit configs and attention-probs dropout need the
+                    # XLA path: the Pallas kernel keeps bf16 logits (f32
+                    # softmax only) and has no dropout
+                    and not self.attention_as_float32
+                    and (deterministic or self.dropout <= 0.0)
                     and flash_causal_eligible(T, T, self.embed_dim
                                               // self.num_heads)):
                 # full-sequence causal training/prefill forward: the Pallas
@@ -343,7 +358,8 @@ class StreamingMultiheadAttention(nn.Module):
         k_all = repeat_kv(k_all, self.kv_repeat)
         v_all = repeat_kv(v_all, self.kv_repeat)
         x = dot_product_attention(q, k_all, v_all, bias=bias,
-                                  as_float32=self.attention_as_float32)
+                                  as_float32=self.attention_as_float32,
+                                  **self._attn_dropout_args(deterministic))
         return self.out_proj(x.reshape(B, T, -1)), cache
 
 
@@ -427,11 +443,13 @@ class StreamingTransformerLayer(nn.Module):
         return self.dropout_layer(self.linear2(h), deterministic=deterministic)
 
     def _sa_block(self, x, cache, attn_bias, deterministic):
-        y, cache = self.self_attn(x, x, x, cache=cache, attn_bias=attn_bias)
+        y, cache = self.self_attn(x, x, x, cache=cache, attn_bias=attn_bias,
+                                  deterministic=deterministic)
         return self.dropout_layer(y, deterministic=deterministic), cache
 
     def _cross_block(self, x, src, cross_kv, deterministic):
-        y, _ = self.cross_attn(x, src, src, cross_kv=cross_kv)
+        y, _ = self.cross_attn(x, src, src, cross_kv=cross_kv,
+                               deterministic=deterministic)
         return self.dropout_layer(y, deterministic=deterministic)
 
     def precompute_cross_kv(self, src: jax.Array):

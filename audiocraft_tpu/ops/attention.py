@@ -26,6 +26,13 @@ _FLASH_MIN_SEQ = 256
 
 
 def set_train_attention_backend(backend: str = "auto") -> None:
+    """Select the training/prefill attention backend ('auto' | 'xla').
+
+    Takes effect at TRACE time only (like `set_efficient_attention_backend`):
+    functions already jit-compiled keep the backend captured when they were
+    traced, so set this before the first `model.apply`/train-step call —
+    flipping it mid-session does not retrace cached programs.
+    """
     global _TRAIN_ATTENTION_BACKEND
     assert backend in ("auto", "xla"), backend
     _TRAIN_ATTENTION_BACKEND = backend
@@ -102,10 +109,16 @@ def make_causal_bias(q_pos: jax.Array, k_pos: jax.Array,
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           bias: tp.Optional[jax.Array] = None,
-                          as_float32: bool = True) -> jax.Array:
+                          as_float32: bool = True,
+                          dropout_rate: float = 0.0,
+                          dropout_rng: tp.Optional[jax.Array] = None
+                          ) -> jax.Array:
     """Scaled dot-product attention, softmax in f32.
 
-    bias broadcasts against [B, H, Tq, Tk] (2d/3d accepted).
+    bias broadcasts against [B, H, Tq, Tk] (2d/3d accepted). With
+    `dropout_rate > 0` and a `dropout_rng`, attention weights are dropped
+    (inverted dropout) after softmax — the reference's attention-probs
+    dropout (`transformer.py:411,436`).
     """
     B, Tq, H, D = q.shape
     out_dtype = q.dtype
@@ -121,6 +134,9 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             bias = bias[:, None]
         logits = logits + bias.astype(logits.dtype)
     w = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, w.shape)
+        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(compute), v.astype(compute),
                      preferred_element_type=compute)
     return out.astype(out_dtype)
