@@ -340,10 +340,14 @@ class StreamingMultiheadAttention(nn.Module):
                     and (deterministic or self.dropout <= 0.0)
                     and flash_causal_eligible(T, T, self.embed_dim
                                               // self.num_heads)):
-                # full-sequence causal training/prefill forward: the Pallas
-                # flash kernel (fwd + custom-VJP bwd) never materializes the
-                # [B, H, T, T] logits — the enabler for no-remat 30 s
-                # training steps on one chip (bench.py train30)
+                # full-sequence causal training/prefill forward via the
+                # Pallas flash kernel (fwd + custom-VJP bwd; never
+                # materializes the [B, H, T, T] logits). OPT-IN: off by
+                # default — under the production full-layer remat the
+                # kernel's internal bwd recompute stacks on the layer
+                # recompute and loses (measured 0.163 vs 0.241 MFU at
+                # T=1500); see ops/attention.py for the full measurement
+                # table and set_train_attention_backend("auto") to enable.
                 x = flash_causal_attention(q, repeat_kv(k, self.kv_repeat),
                                            repeat_kv(v, self.kv_repeat))
                 return self.out_proj(x.reshape(B, T, -1)), cache

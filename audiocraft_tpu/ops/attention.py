@@ -16,16 +16,28 @@ import jax.numpy as jnp
 # Training/prefill attention backend: "auto" routes causal self-attention
 # with no extra bias through the Pallas TPU flash-attention kernel (fwd +
 # custom-VJP bwd, jax.experimental.pallas.ops.tpu.flash_attention) when on
-# TPU and the sequence is long enough to matter. The kernel never
-# materializes the [B, H, T, T] logits — at the reference 30 s train shape
-# (T=1500) that is the difference between fitting one 16 GB chip without
-# remat and OOMing at TB>=4 (see bench.py train30). "xla" forces the
+# TPU and the sequence is long enough to matter; "xla" forces the
 # einsum+softmax path (always used on CPU and for biased/short cases).
-_TRAIN_ATTENTION_BACKEND = "auto"
+#
+# Default is "xla": MEASURED on v5e (2026-08-19, TB=16, T=1500, 24 layers):
+#   full-remat + xla attention   0.241 useful-MFU   <- production default
+#   full-remat + flash kernel    0.163 useful-MFU   (the kernel's internal
+#       bwd recompute stacks on the layer remat's recompute: attention work
+#       is done ~3x instead of ~2x)
+#   no-remat / dots-remat + flash: would avoid that double recompute and
+#       never materialize the [B, H, T, T] logits, but the 24-layer T=1500
+#       training program with the custom-VJP kernel crashes this image's
+#       remote-compile helper (HTTP 500), so it is unbuildable here.
+# The kernel itself is numerically verified fwd+grad against the XLA path
+# (tests/ops/test_flash_attention.py::
+#  test_flash_causal_train_fwd_and_grad_parity_on_tpu); opt in with
+# set_train_attention_backend("auto") on stacks where the lighter-remat
+# configs compile.
+_TRAIN_ATTENTION_BACKEND = "xla"
 _FLASH_MIN_SEQ = 256
 
 
-def set_train_attention_backend(backend: str = "auto") -> None:
+def set_train_attention_backend(backend: str = "xla") -> None:
     """Select the training/prefill attention backend ('auto' | 'xla').
 
     Takes effect at TRACE time only (like `set_efficient_attention_backend`):
