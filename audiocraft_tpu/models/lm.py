@@ -101,6 +101,7 @@ class LMModel(nn.Module):
     positional_embedding: str = "sin"
     xpos: bool = False
     checkpointing: str = "none"
+    layer_scan: bool = False
     cross_attention: bool = False
     qk_layer_norm: bool = False
     qk_layer_norm_cross: bool = False
@@ -141,6 +142,7 @@ class LMModel(nn.Module):
             qk_layer_norm_cross=self.qk_layer_norm_cross,
             kv_repeat=self.kv_repeat, norm_first=self.norm_first,
             activation=self.activation, checkpointing=self.checkpointing,
+            layer_scan=self.layer_scan,
             dtype=self.dtype, param_dtype=self.param_dtype)
         if self.norm_first:
             self.out_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,

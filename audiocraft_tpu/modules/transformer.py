@@ -36,6 +36,15 @@ from .rope import RopeConfig, rope_rotate
 
 _GLU_KINDS = ("reglu", "geglu", "swiglu", "glu")
 
+# checkpointing='dots': keep matmul outputs AND the flash-attention kernel
+# output (tagged 'flash_attn_out' in ops/attention.py) — without the name,
+# dots_saveable would recompute the custom-VJP kernel in backward on top of
+# its own internal recompute. With no flash in the graph the name never
+# appears and this is exactly dots_saveable.
+DOTS_REMAT_POLICY = jax.checkpoint_policies.save_from_both_policies(
+    jax.checkpoint_policies.dots_saveable,
+    jax.checkpoint_policies.save_only_these_names("flash_attn_out"))
+
 _EFFICIENT_ATTENTION_BACKEND = "xla"
 
 
@@ -538,6 +547,16 @@ class StreamingTransformer(nn.Module):
     # the TPU middle ground (jax.checkpoint_policies.dots_saveable): ~9%
     # step cost at 10 s shapes where the logits still fit.
     checkpointing: str = "none"
+    # Opt-in train/prefill path: `lax.scan` over ONE layer body with the
+    # per-layer param subtrees stacked on a leading axis at trace time.
+    # XLA compiles a single layer program instead of `num_layers` unrolled
+    # copies — ~L× smaller HLO (the T=1500 24-layer train step is the
+    # motivating case: the unrolled program crashes this image's
+    # remote-compile helper under the flash custom-VJP kernel). Checkpoint
+    # layout is unchanged: init still creates `layers_{i}` subtrees and the
+    # stack is a pure gather inside the jitted step. Decode (caches) keeps
+    # the unrolled path — stacked KV caches are not worth the churn there.
+    layer_scan: bool = False
     # lr/weight_decay overrides for per-module optim groups (`transformer.py:715-721`)
     lr: tp.Optional[float] = None
     weight_decay: tp.Optional[float] = None
@@ -605,6 +624,11 @@ class StreamingTransformer(nn.Module):
                                            dtype=jnp.float32)
             x = x + self.positional_scale * pos_emb.astype(x.dtype)
 
+        if (self.layer_scan and caches is None
+                and not self.is_initializing()):
+            return self._scan_layers(x, cross_attention_src, attn_bias,
+                                     deterministic), None
+
         new_caches: tp.Optional[tp.List[LayerCache]] = [] if caches is not None else None
         for i, layer in enumerate(self.layers):
             cache_i = caches[i] if caches is not None else None
@@ -621,13 +645,52 @@ class StreamingTransformer(nn.Module):
                     y, _ = mdl(h, cross_attention_src=cross_attention_src,
                                attn_bias=attn_bias, deterministic=deterministic)
                     return y
-                policy = (jax.checkpoint_policies.dots_saveable
+                policy = (DOTS_REMAT_POLICY
                           if self.checkpointing == "dots" else None)
                 x = nn.checkpoint(apply_layer, policy=policy)(layer, x)
                 new_cache = None
             if new_caches is not None:
                 new_caches.append(new_cache)
         return x, new_caches
+
+    def _scan_layers(self, x: jax.Array,
+                     cross_attention_src: tp.Optional[jax.Array],
+                     attn_bias: tp.Optional[jax.Array],
+                     deterministic: bool) -> jax.Array:
+        """`lax.scan` over one layer body with stacked per-layer params.
+
+        Math-identical to the unrolled loop (equality-tested in
+        tests/modules/test_transformer.py); `checkpointing` applies to the
+        scan body, so 'torch' = classic scan-plus-remat per-layer
+        checkpointing with an L× smaller program than the unrolled loop."""
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[layer.variables["params"] for layer in self.layers])
+        # an unbound clone of layer 0 (all layers share the config) whose
+        # `.apply` runs one body functionally inside the scan
+        body_mod = self.layers[0].clone(parent=None)
+        use_rng = not deterministic and self.has_rng("dropout")
+        keys = (jax.random.split(self.make_rng("dropout"), self.num_layers)
+                if use_rng else jnp.zeros((self.num_layers, 2), jnp.uint32))
+
+        def body_fn(h, lp, key):
+            y, _ = body_mod.apply(
+                {"params": lp}, h, cross_attention_src=cross_attention_src,
+                attn_bias=attn_bias, deterministic=deterministic,
+                rngs={"dropout": key} if use_rng else None)
+            return y
+
+        if self.checkpointing in ("torch", "dots"):
+            policy = (DOTS_REMAT_POLICY
+                      if self.checkpointing == "dots" else None)
+            body_fn = jax.checkpoint(body_fn, policy=policy)
+
+        def scan_step(h, per_layer):
+            lp, key = per_layer
+            return body_fn(h, lp, key), None
+
+        x, _ = jax.lax.scan(scan_step, x, (stacked, keys))
+        return x
 
     def make_optim_group(self, params) -> dict:
         group: tp.Dict[str, tp.Any] = {"params": params}

@@ -84,6 +84,12 @@ def flash_causal_attention(q: jax.Array, k: jax.Array,
     block = BlockSizes.get_default(B, H, Tp, Tp, D)
     out = flash_attention(to_bhtd(q), to_bhtd(k), to_bhtd(v), causal=True,
                           sm_scale=scale, block_sizes=block)
+    # Tag for remat policies: under jax.checkpoint the custom-VJP output is
+    # not a dot, so dots_saveable would recompute the whole kernel in
+    # backward (stacking its internal recompute on the layer remat's — the
+    # measured 0.163-MFU failure mode). The 'dots' checkpointing policy
+    # saves this name instead (modules/transformer.py DOTS_REMAT_POLICY).
+    out = jax.ad_checkpoint.checkpoint_name(out, "flash_attn_out")
     return jnp.moveaxis(out[:, :, :T], 2, 1)
 
 

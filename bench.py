@@ -607,7 +607,7 @@ def bench_lat_w8a8():
 
 
 def bench_train(TB=16, n_iters=3, scale="small", checkpointing="none",
-                duration=None):
+                duration=None, layer_scan=False, attn_backend=None):
     """musicgen CE training-step throughput on one chip: full fwd+bwd+AdamW
     over `duration`-second token sequences (`config/solver/musicgen/
     default.yaml` shape; grids run this under dp+fsdp across chips — see
@@ -630,8 +630,11 @@ def bench_train(TB=16, n_iters=3, scale="small", checkpointing="none",
                                                  make_train_step)
 
     duration = DURATION if duration is None else duration
+    if attn_backend is not None:
+        from audiocraft_tpu.ops.attention import set_train_attention_backend
+        set_train_attention_backend(attn_backend)
     model = musicgen_lm(scale, n_q=4, card=2048, dtype=jnp.bfloat16,
-                        checkpointing=checkpointing)
+                        checkpointing=checkpointing, layer_scan=layer_scan)
     params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
     optimizer = optax.adamw(1e-4, b1=0.9, b2=0.95)
     state = init_train_state(model, params, optimizer)

@@ -194,3 +194,61 @@ def test_attention_dropout_active_in_train_mode():
                            rngs={"dropout": jax.random.PRNGKey(8)})
     assert not np.allclose(np.asarray(y_train), np.asarray(y_train2),
                            atol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["none", "torch", "dots"])
+def test_layer_scan_matches_unrolled(mode):
+    """layer_scan (lax.scan over one layer body with stacked params) must be
+    math-identical to the unrolled loop for forward AND gradients, under
+    every checkpointing mode, with cross-attention in the loop."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 16))
+    src = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 16))
+    tr0 = _make(checkpointing=mode, cross_attention=True, num_layers=3)
+    params = tr0.init(jax.random.PRNGKey(1), x, cross_attention_src=src)
+
+    def loss(tr):
+        def f(p, x, src):
+            y, _ = tr.apply(p, x, cross_attention_src=src)
+            return jnp.sum(y ** 2)
+        return f
+
+    y0, g0 = jax.value_and_grad(loss(tr0), argnums=(0, 2))(params, x, src)
+    trs = _make(checkpointing=mode, cross_attention=True, num_layers=3,
+                layer_scan=True)
+    ys, gs = jax.value_and_grad(loss(trs), argnums=(0, 2))(params, x, src)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(y0), rtol=1e-5)
+    # scan changes XLA fusion order vs the unrolled loop -> float-reordering
+    # noise (observed max rel diff ~4e-7); rtol with a small atol floor
+    for a, b in zip(jax.tree.leaves(gs), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_layer_scan_decode_falls_back_to_unrolled():
+    """With caches present (decode), layer_scan must not change the path:
+    streaming decode still matches the full-sequence scanned forward."""
+    T = 8
+    tr = _make(layer_scan=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, T, 16))
+    params = tr.init(jax.random.PRNGKey(1), x)
+    y_full, _ = tr.apply(params, x)
+
+    caches = tr.init_cache(2, T)
+    ys = []
+    for t in range(T):
+        y_t, caches = tr.apply(params, x[:, t:t + 1], caches=caches)
+        ys.append(y_t)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(ys, axis=1)),
+                               np.asarray(y_full), atol=2e-5)
+
+
+def test_layer_scan_dropout_runs():
+    """Scanned path must thread per-layer dropout rngs in train mode."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 16))
+    tr = _make(dropout=0.3, layer_scan=True, num_layers=3)
+    params = tr.init(jax.random.PRNGKey(1), x)
+    y, _ = tr.apply(params, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(7)})
+    assert np.isfinite(np.asarray(y)).all()
+    y_eval, _ = tr.apply(params, x, deterministic=True)
+    assert not np.allclose(np.asarray(y), np.asarray(y_eval), atol=1e-3)
