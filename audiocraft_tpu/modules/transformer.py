@@ -36,14 +36,31 @@ from .rope import RopeConfig, rope_rotate
 
 _GLU_KINDS = ("reglu", "geglu", "swiglu", "glu")
 
-# checkpointing='dots': keep matmul outputs AND the flash-attention kernel
-# output (tagged 'flash_attn_out' in ops/attention.py) — without the name,
-# dots_saveable would recompute the custom-VJP kernel in backward on top of
-# its own internal recompute. With no flash in the graph the name never
-# appears and this is exactly dots_saveable.
+# checkpointing='dots': keep matmul outputs AND every Pallas kernel output —
+# the flash-attention custom-VJP backward needs the kernel's o AND lse
+# residuals, and neither is a dot: plain dots_saveable would re-run the whole
+# kernel in backward on top of its own internal recompute (measured as the
+# 0.163/0.155-MFU failure modes; saving only the name-tagged output o still
+# re-runs the kernel for lse). With no Pallas call in the graph this is
+# exactly dots_saveable.
+def _pallas_outputs_saveable(prim, *_, **__) -> bool:
+    return getattr(prim, "name", "") == "pallas_call"
+
+
 DOTS_REMAT_POLICY = jax.checkpoint_policies.save_from_both_policies(
-    jax.checkpoint_policies.dots_saveable,
-    jax.checkpoint_policies.save_only_these_names("flash_attn_out"))
+    jax.checkpoint_policies.dots_saveable, _pallas_outputs_saveable)
+
+# checkpointing='dots_nb': save only UNBATCHED dot outputs — the qkv/out
+# projections and FFN matmuls — and recompute the batched attention chain
+# (logits, softmax, PV) in backward. The [B, H, T, T] logits are exactly the
+# tensor that makes 'dots' OOM at T=1500; recomputing them costs ~20% of a
+# forward (~7% of the step) while the saved set shrinks to ~18 KB/token/layer.
+DOTS_NB_REMAT_POLICY = jax.checkpoint_policies.save_from_both_policies(
+    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    _pallas_outputs_saveable)
+
+_REMAT_POLICIES = {"torch": None, "dots": DOTS_REMAT_POLICY,
+                   "dots_nb": DOTS_NB_REMAT_POLICY}
 
 _EFFICIENT_ATTENTION_BACKEND = "xla"
 
@@ -538,14 +555,16 @@ class StreamingTransformer(nn.Module):
     kv_repeat: int = 1
     norm_first: bool = True
     activation: str = "gelu"
-    # 'none' | 'torch' | 'dots'. 'torch' matches the reference's
+    # 'none' | 'torch' | 'dots' | 'dots_nb'. 'torch' matches the reference's
     # torch.utils.checkpoint semantics (`transformer.py:141-149`): save only
     # layer-boundary activations and recompute everything inside the layer
     # in backward — the only policy whose activation footprint fits 30 s
-    # sequences (T=1500) on one 16 GB v5e chip (dots_saveable would keep
-    # the [B, H, T, T] attention logits: 576 MB/layer at TB=4). 'dots' is
-    # the TPU middle ground (jax.checkpoint_policies.dots_saveable): ~9%
-    # step cost at 10 s shapes where the logits still fit.
+    # sequences (T=1500) on one 16 GB v5e chip, and the MEASURED best there
+    # (0.241 useful-MFU vs 'dots_nb' 0.183 and flash-under-'dots' 0.162;
+    # README "30s-shape training MFU"). 'dots' (DOTS_REMAT_POLICY) keeps
+    # matmul + Pallas outputs: ~9% step cost at 10 s shapes where the
+    # [B, H, T, T] logits still fit. 'dots_nb' (DOTS_NB_REMAT_POLICY) keeps
+    # only unbatched dots, recomputing the attention chain in backward.
     checkpointing: str = "none"
     # Opt-in train/prefill path: `lax.scan` over ONE layer body with the
     # per-layer param subtrees stacked on a leading axis at trace time.
@@ -638,15 +657,14 @@ class StreamingTransformer(nn.Module):
                                      deterministic=deterministic)
             else:
                 # jax.checkpoint: recompute layer activations in backward
-                assert self.checkpointing in ("torch", "dots"), \
+                assert self.checkpointing in _REMAT_POLICIES, \
                     self.checkpointing
 
                 def apply_layer(mdl, h):
                     y, _ = mdl(h, cross_attention_src=cross_attention_src,
                                attn_bias=attn_bias, deterministic=deterministic)
                     return y
-                policy = (DOTS_REMAT_POLICY
-                          if self.checkpointing == "dots" else None)
+                policy = _REMAT_POLICIES[self.checkpointing]
                 x = nn.checkpoint(apply_layer, policy=policy)(layer, x)
                 new_cache = None
             if new_caches is not None:
@@ -680,10 +698,9 @@ class StreamingTransformer(nn.Module):
                 rngs={"dropout": key} if use_rng else None)
             return y
 
-        if self.checkpointing in ("torch", "dots"):
-            policy = (DOTS_REMAT_POLICY
-                      if self.checkpointing == "dots" else None)
-            body_fn = jax.checkpoint(body_fn, policy=policy)
+        if self.checkpointing in ("torch", "dots", "dots_nb"):
+            body_fn = jax.checkpoint(
+                body_fn, policy=_REMAT_POLICIES[self.checkpointing])
 
         def scan_step(h, per_layer):
             lp, key = per_layer

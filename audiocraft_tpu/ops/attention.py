@@ -12,6 +12,7 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 # Training/prefill attention backend: "auto" routes causal self-attention
 # with no extra bias through the Pallas TPU flash-attention kernel (fwd +
@@ -89,7 +90,7 @@ def flash_causal_attention(q: jax.Array, k: jax.Array,
     # backward (stacking its internal recompute on the layer remat's — the
     # measured 0.163-MFU failure mode). The 'dots' checkpointing policy
     # saves this name instead (modules/transformer.py DOTS_REMAT_POLICY).
-    out = jax.ad_checkpoint.checkpoint_name(out, "flash_attn_out")
+    out = checkpoint_name(out, "flash_attn_out")
     return jnp.moveaxis(out[:, :, :T], 2, 1)
 
 

@@ -708,13 +708,15 @@ def bench_train30_part():
     ~8N matmul FLOPs per token against 6N counted as useful — useful-MFU is
     capped at ~0.75x the hardware utilization. Measured 0.241 at TB=16
     (2026-08-19) => ~0.32 actual hardware utilization, consistent with the
-    10 s no-remat step's 0.355 MFU. The flash-attention escape hatch was
-    built and MEASURED (2026-08-19): under full remat it loses (0.163 —
-    the kernel's internal bwd recompute stacks on the layer recompute),
-    and the no-remat/dots configs it would enable crash this image's
-    remote-compile helper (HTTP 500) at 24 layers x T=1500, so on this
-    stack full remat + XLA attention IS the frontier; the kernel stays
-    opt-in via ops.attention.set_train_attention_backend('auto')."""
+    10 s no-remat step's 0.355 MFU. Every lighter-remat escape hatch was
+    built and MEASURED (2026-08-19, scripts/bench_scan_train*.py):
+    scan-over-layers full remat = parity (0.239, 24x smaller program);
+    flash kernel under full remat 0.163; flash under dots remat with the
+    kernel outputs policy-saved 0.162; dots_nb (recompute only the
+    attention chain) 0.183; dots/no-remat plans OOM at compile ("Used
+    19.64G of 15.75G hbm" — the former HTTP-500 mystery). Full remat +
+    XLA attention IS the measured frontier on a 16 GB chip; the kernel
+    stays opt-in via ops.attention.set_train_attention_backend('auto')."""
     tput, mfu = bench_train(TB=16, duration=30.0, checkpointing="torch")
     return {"train_small_30s_audio_sec_per_sec": tput,
             "train_mfu_30s": mfu,

@@ -146,7 +146,7 @@ def test_layer_scale_and_qk_layer_norm():
     assert any("scale" in n for n in names)
 
 
-@pytest.mark.parametrize("mode", ["torch", "dots"])
+@pytest.mark.parametrize("mode", ["torch", "dots", "dots_nb"])
 def test_checkpointing_matches_no_remat(mode):
     """Remat modes must change memory, not math: forward outputs and
     gradients equal the checkpointing='none' step. 'torch' = reference
@@ -196,7 +196,7 @@ def test_attention_dropout_active_in_train_mode():
                            atol=1e-3)
 
 
-@pytest.mark.parametrize("mode", ["none", "torch", "dots"])
+@pytest.mark.parametrize("mode", ["none", "torch", "dots", "dots_nb"])
 def test_layer_scan_matches_unrolled(mode):
     """layer_scan (lax.scan over one layer body with stacked params) must be
     math-identical to the unrolled loop for forward AND gradients, under

@@ -66,3 +66,39 @@ def test_sharded_generation_matches_replicated():
     t_plain = lm_mod.generate(model, params, jax.random.PRNGKey(0),
                               conditions=attrs, max_gen_len=12, gen=gen)
     np.testing.assert_array_equal(np.asarray(t_shard), np.asarray(t_plain))
+
+
+def test_sharded_train_step_runs_layer_scan():
+    """layer_scan composes with GSPMD: the scanned train step runs under the
+    dp x fsdp mesh and matches the unrolled sharded step's loss (the param
+    stack is a pure gather inside the jitted program; shardings unchanged)."""
+    import dataclasses
+    from audiocraft_tpu.models.builders import get_debug_lm_model
+    from audiocraft_tpu.models.lm import tokenize_conditions
+    from audiocraft_tpu.modules.conditioners import ConditioningAttributes
+    from audiocraft_tpu.solvers.musicgen import (init_train_state,
+                                                 make_optimizer,
+                                                 make_train_step,
+                                                 state_shardings)
+    mesh = _mesh()
+    model, params = get_debug_lm_model()
+    optimizer = make_optimizer(1e-4)
+    attrs = [ConditioningAttributes(text={"description": "x"})
+             for _ in range(4)]
+    tokenized = tokenize_conditions(model, attrs)
+    codes = jnp.zeros((4, model.n_q, 16), jnp.int32)
+    mask = jnp.ones((4, 16), bool)
+
+    ces = {}
+    for tag, m in [("unrolled", model),
+                   ("scan", dataclasses.replace(model, layer_scan=True))]:
+        pc = jax.tree.map(jnp.array, params)
+        state = init_train_state(m, pc, optimizer)
+        shardings = state_shardings(state, mesh)
+        state = jax.device_put(state, shardings)
+        step = make_train_step(m, optimizer, mesh)(shardings)
+        state, metrics = step(state, codes, tokenized, mask,
+                              jax.random.PRNGKey(0))
+        ces[tag] = float(np.asarray(metrics["ce"]))
+    assert np.isfinite(ces["scan"])
+    assert abs(ces["scan"] - ces["unrolled"]) < 1e-5
