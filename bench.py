@@ -71,12 +71,13 @@ BENCH_HARD_CAP_SEC = float(os.environ.get("AUDIOCRAFT_BENCH_HARD_CAP_SEC",
 # come from jax.monitoring events. `_mark` flushes an interim marker line so
 # that even a part killed by the parent's wall cap leaves a parseable trail
 # (subprocess.TimeoutExpired carries the partial stdout).
-_TEL = {"compile_sec": 0.0, "run_sec": 0.0, "cache_requests": 0,
-        "cache_hits": 0}
+_TEL = {"init_sec": 0.0, "compile_sec": 0.0, "run_sec": 0.0,
+        "cache_requests": 0, "cache_hits": 0}
 
 
 def _tel_snapshot() -> dict:
-    return {"compile_sec": round(_TEL["compile_sec"], 1),
+    return {"init_sec": round(_TEL["init_sec"], 1),
+            "compile_sec": round(_TEL["compile_sec"], 1),
             "run_sec": round(_TEL["run_sec"], 1),
             "cache_hits": _TEL["cache_hits"],
             "cache_requests": _TEL["cache_requests"]}
@@ -101,6 +102,15 @@ def _setup_jax():
             _TEL["cache_hits"] += 1
 
     monitoring.register_event_listener(_listen)
+    # Touch the device NOW and flush a marker: TPU client creation over the
+    # axon tunnel is the one step that intermittently stalls for minutes
+    # (observed 2026-08-19: warm-cached parts hanging >420 s with zero
+    # output). The parent watches for this marker and kills+retries a child
+    # that never prints it — an init stall is transient, a re-spawn lands.
+    t0 = time.time()
+    jax.devices()
+    _TEL["init_sec"] = time.time() - t0
+    _mark("jax_ready")
     return jax
 
 
@@ -808,25 +818,84 @@ PARTS = [
 HEADLINE_CAP = float(os.environ.get("AUDIOCRAFT_BENCH_HEADLINE_CAP_SEC", 600))
 
 
+# A child that has not even printed its `jax_ready` marker after this many
+# seconds is stuck creating the TPU client over the tunnel (normal init is
+# <15 s; compiles cannot start before the marker). Kill it early and let the
+# caller retry instead of burning the whole part cap on a transient stall.
+INIT_WINDOW_SEC = float(os.environ.get("AUDIOCRAFT_BENCH_INIT_WINDOW_SEC",
+                                       120))
+
+
+class _InitStall(Exception):
+    """Child produced no telemetry marker within INIT_WINDOW_SEC."""
+
+
+def _PART_CMD(name: str) -> tp.List[str]:
+    """Child command for one bench part (test seam: monkeypatched by
+    tests/test_bench_orchestration.py to fake stalled/slow children)."""
+    return [sys.executable, os.path.abspath(__file__), "--part", name]
+
+
 def _run_part_subprocess(name: str, timeout: float,
                          extra_env: tp.Optional[dict] = None):
     """Run one bench part in a child process; return its parsed dict.
 
-    Raises subprocess.TimeoutExpired / ValueError on failure. The child
-    holds the TPU exclusively for its lifetime, so parts run sequentially
-    and the parent never initializes a jax backend."""
+    Raises subprocess.TimeoutExpired / _InitStall / ValueError on failure.
+    The child holds the TPU exclusively for its lifetime, so parts run
+    sequentially and the parent never initializes a jax backend. Stdout is
+    streamed (not buffered to completion) so the parent can distinguish a
+    child that is compiling (markers flushed) from one stuck in TPU client
+    init (silent) — the latter is killed at INIT_WINDOW_SEC and retried by
+    the caller rather than at the full part cap."""
+    import threading
     env = dict(os.environ)
     env.update(extra_env or {})
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--part", name],
-        capture_output=True, text=True, timeout=timeout, env=env)
-    for line in reversed(proc.stdout.strip().splitlines()):
+    cmd = _PART_CMD(name)
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, env=env)
+    lines: tp.List[str] = []
+    saw_marker = [False]
+
+    def _read(stream, sink, watch):
+        for line in stream:
+            sink.append(line)
+            if watch and '"_tel"' in line:
+                saw_marker[0] = True
+
+    err_lines: tp.List[str] = []
+    t_out = threading.Thread(target=_read, args=(proc.stdout, lines, True),
+                             daemon=True)
+    t_err = threading.Thread(target=_read, args=(proc.stderr, err_lines,
+                                                 False), daemon=True)
+    t_out.start()
+    t_err.start()
+    t0 = time.time()
+    while proc.poll() is None:
+        elapsed = time.time() - t0
+        if elapsed > timeout:
+            proc.kill()
+            proc.wait()
+            time.sleep(3)  # let the tunnel drop the dead client cleanly
+            raise subprocess.TimeoutExpired(cmd, timeout,
+                                            output="".join(lines))
+        if elapsed > INIT_WINDOW_SEC and not saw_marker[0]:
+            proc.kill()
+            proc.wait()
+            time.sleep(3)
+            raise _InitStall(
+                f"part {name}: no jax_ready marker after "
+                f"{INIT_WINDOW_SEC:.0f}s (TPU client init stall)")
+        time.sleep(1.0)
+    t_out.join(10)
+    t_err.join(10)
+    stdout = "".join(lines)
+    for line in reversed(stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{") and '"_tel"' not in line:
             return json.loads(line)
     raise ValueError(
         f"part {name} rc={proc.returncode} no JSON: "
-        f"{(proc.stderr or proc.stdout)[-300:]}")
+        f"{(''.join(err_lines) or stdout)[-300:]}")
 
 
 def _partial_tel(stdout: tp.Optional[str]) -> tp.Optional[dict]:
@@ -868,18 +937,30 @@ def main():
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(int(BENCH_HARD_CAP_SEC))
 
-    # ---- headline (must land): subprocess with cap, small-batch fallback
+    # ---- headline (must land): subprocess with cap; transient TPU-client
+    # init stalls are retried at full batch, anything else falls back to a
+    # small-batch single-iter run sized to whatever window remains
     extra = {}
-    try:
-        head = _run_part_subprocess(
-            "headline", min(HEADLINE_CAP, BENCH_HARD_CAP_SEC - 120))
-    except Exception as e:
-        extra["headline_fallback"] = str(e)[:120]
-        os.environ["AUDIOCRAFT_BENCH_B"] = "64"
-        os.environ["AUDIOCRAFT_BENCH_HEADLINE_ITERS"] = "1"
-        head = _run_part_subprocess(
-            "headline", max(60.0, BENCH_HARD_CAP_SEC - (time.time() - t0)
-                            - 60))
+    head = None
+    for attempt in range(3):
+        try:
+            head = _run_part_subprocess(
+                "headline", min(HEADLINE_CAP, BENCH_HARD_CAP_SEC - 120))
+            break
+        except _InitStall as e:
+            extra["headline_init_stalls"] = attempt + 1
+            extra.setdefault("headline_note", str(e)[:120])
+    if head is None:
+        try:
+            head = _run_part_subprocess(
+                "headline", min(HEADLINE_CAP, BENCH_HARD_CAP_SEC - 120))
+        except Exception as e:
+            extra["headline_fallback"] = str(e)[:120]
+            os.environ["AUDIOCRAFT_BENCH_B"] = "64"
+            os.environ["AUDIOCRAFT_BENCH_HEADLINE_ITERS"] = "1"
+            head = _run_part_subprocess(
+                "headline", max(60.0, BENCH_HARD_CAP_SEC
+                                - (time.time() - t0) - 60))
     value = head.pop("value")
     extra.update(head)
     # EARLY flush: a timeout during secondaries must not erase the headline
@@ -890,21 +971,34 @@ def main():
     # enriched line re-prints after every part, so whatever the driver's
     # window allows is recorded (it reads the LAST parseable line)
     for name, _fn, cap, part_env in PARTS:
-        remaining = BENCH_BUDGET_SEC - (time.time() - t0)
-        hard_left = BENCH_HARD_CAP_SEC - (time.time() - t0) - 30
-        if remaining < 45 or hard_left < 45:
-            extra[f"{name}_skipped"] = "bench time budget spent"
-            continue
-        part_timeout = min(cap, max(45.0, remaining), hard_left)
-        try:
-            extra.update(_run_part_subprocess(name, part_timeout, part_env))
-        except subprocess.TimeoutExpired as e:
-            extra[f"{name}_error"] = f"timeout after {part_timeout:.0f}s"
-            tel = _partial_tel(e.stdout)
-            if tel is not None:
-                extra[f"{name}_tel_at_kill"] = tel
-        except Exception as e:  # pragma: no cover
-            extra[f"{name}_error"] = str(e)[:120]
+        # Up to one retry, and only for transient TPU-client init stalls
+        # (killed at INIT_WINDOW_SEC, so a stall+retry costs ~2 min, not the
+        # whole cap). Slow compiles are NOT retried — a re-run would be just
+        # as slow and the persistent cache makes the next round warm anyway.
+        for attempt in range(2):
+            remaining = BENCH_BUDGET_SEC - (time.time() - t0)
+            hard_left = BENCH_HARD_CAP_SEC - (time.time() - t0) - 30
+            if remaining < 45 or hard_left < 45:
+                extra[f"{name}_skipped"] = "bench time budget spent"
+                break
+            part_timeout = min(cap, max(45.0, remaining), hard_left)
+            try:
+                extra.update(_run_part_subprocess(name, part_timeout,
+                                                  part_env))
+                extra.pop(f"{name}_error", None)
+                break
+            except _InitStall as e:
+                extra[f"{name}_error"] = str(e)[:120]
+                extra[f"{name}_init_stalls"] = attempt + 1
+            except subprocess.TimeoutExpired as e:
+                extra[f"{name}_error"] = f"timeout after {part_timeout:.0f}s"
+                tel = _partial_tel(e.stdout)
+                if tel is not None:
+                    extra[f"{name}_tel_at_kill"] = tel
+                break
+            except Exception as e:  # pragma: no cover
+                extra[f"{name}_error"] = str(e)[:120]
+                break
         result_box["line"] = _headline_json(value, dict(extra))
         print(result_box["line"], flush=True)
 
