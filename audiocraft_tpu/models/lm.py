@@ -668,20 +668,38 @@ def quantize_lm_params(model: LMModel, params):
 
 # ------------------------------------------------------------ initialization
 
-def init_lm_params(model: LMModel, rng: jax.Array, seq_len: int = 8):
+def init_lm_params(model: LMModel, rng: jax.Array, seq_len: int = 8,
+                   param_dtype=None):
     """Initialize all LM params, applying the reference's weight-init policy
     (`lm.py:179-211`: gaussian/uniform with optional depthwise rescale and
-    zero bias init)."""
+    zero bias init).
+
+    The whole init (flax init + re-init policy + optional `param_dtype`
+    cast) runs under ONE `jax.jit`: eagerly it is thousands of tiny device
+    dispatches (~500 leaves x init+cast), which over a remote-device tunnel
+    dominates model startup — measured 2026-08-19 on the 1.5B medium LM,
+    eager init was ~450 s of an audiogen bench part's 538 s wall. One jitted
+    program compiles once (persistent-cacheable) and runs in seconds."""
     text_conds = [k for k, v in model.conditioners.items()
                   if hasattr(v, "tokenize")]
     attrs = [ConditioningAttributes(text={name: "init" for name in text_conds})]
     tokenized = tokenize_conditions(model, attrs)
-    seq = jnp.zeros((1, model.n_q, seq_len), jnp.int32)
     rng, init_rng = jax.random.split(rng)
-    params = model.init(init_rng, seq, tokenized, method=LMModel.init_all)
-    if model.weight_init is not None:
-        params = apply_lm_weight_init(model, params, rng)
-    return params
+
+    @jax.jit
+    def _init(init_rng, w_rng, tokenized):
+        seq = jnp.zeros((1, model.n_q, seq_len), jnp.int32)
+        params = model.init(init_rng, seq, tokenized,
+                            method=LMModel.init_all)
+        if model.weight_init is not None:
+            params = apply_lm_weight_init(model, params, w_rng)
+        if param_dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(param_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        return params
+
+    return _init(init_rng, rng, tokenized)
 
 
 def apply_lm_weight_init(model: LMModel, params, rng: jax.Array):

@@ -83,8 +83,17 @@ def _tel_snapshot() -> dict:
             "cache_requests": _TEL["cache_requests"]}
 
 
+_PROC_T0 = time.time()
+
+
 def _mark(stage: str) -> None:
-    print(json.dumps({"_tel": dict(_tel_snapshot(), stage=stage)}),
+    """Flush a telemetry marker. `wall_sec` is elapsed since process start,
+    so a killed child's tel_at_kill shows how far it got — and the gap
+    between wall_sec and init+compile+run exposes untracked host-side setup
+    (param init / tracing), which for the big models dominates the part."""
+    print(json.dumps({"_tel": dict(_tel_snapshot(), stage=stage,
+                                   wall_sec=round(time.time() - _PROC_T0,
+                                                  1))}),
           flush=True)
 
 
@@ -205,8 +214,8 @@ def bench_musicgen():
     from audiocraft_tpu.quantization import ResidualVectorQuantizer
 
     model = musicgen_lm("small", n_q=4, card=2048, dtype=jnp.bfloat16)
-    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4,
+                            param_dtype=jnp.bfloat16)
 
     # EnCodec 32kHz decoder (`configs/model/encodec/encodec_large_nq4_s320`):
     # dim 128, n_filters 64, ratios [8,5,4,4] -> hop 640 = 32000/50
@@ -339,8 +348,8 @@ def bench_audiogen(scale="medium", AG_B=128, n_iters=3):
     AG_DUR = 5.0
     dim = MODEL_SCALES[scale]["dim"]
     model = musicgen_lm(scale, n_q=4, card=2048, dtype=jnp.bfloat16)
-    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4,
+                            param_dtype=jnp.bfloat16)
 
     decoder = SEANetDecoder(channels=1, dimension=128, n_filters=64,
                             n_residual_layers=1, ratios=(8, 5, 4, 2),
@@ -415,8 +424,8 @@ def bench_melody(scale="small", MEL_B=128, n_iters=3):
                     cross_attention=False, causal=True, norm_first=True,
                     bias_proj=False, bias_ff=False, bias_attn=False,
                     cfg_coef=3.0, dtype=jnp.bfloat16, **MODEL_SCALES[scale])
-    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4,
+                            param_dtype=jnp.bfloat16)
 
     kw = dict(channels=1, dimension=128, n_filters=64, n_residual_layers=1,
               ratios=(8, 5, 4, 4), lstm=2, dtype=jnp.bfloat16)
@@ -489,8 +498,8 @@ def _lat_setup():
     from audiocraft_tpu.quantization import ResidualVectorQuantizer
 
     model = musicgen_lm("small", n_q=4, card=2048, dtype=jnp.bfloat16)
-    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4,
+                            param_dtype=jnp.bfloat16)
     decoder = SEANetDecoder(channels=1, dimension=128, n_filters=64,
                             n_residual_layers=1, ratios=(8, 5, 4, 4),
                             lstm=2, dtype=jnp.bfloat16)
@@ -552,8 +561,8 @@ def _magnet_latency(LB: int):
         bias_proj=False, bias_ff=False, bias_attn=False,
         subcodes_context=5, segment_duration=int(DURATION),
         compression_model_framerate=FRAME_RATE, dtype=jnp.bfloat16)
-    mparams = init_lm_params(magnet, jax.random.PRNGKey(1), seq_len=4)
-    mparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), mparams)
+    mparams = init_lm_params(magnet, jax.random.PRNGKey(1), seq_len=4,
+                             param_dtype=jnp.bfloat16)
     cond = (jax.random.normal(jax.random.PRNGKey(3), (2 * LB, 12, 1024),
                               jnp.bfloat16),
             jnp.ones((2 * LB, 12), jnp.int32))
@@ -766,8 +775,8 @@ def bench_magnet():
         bias_proj=False, bias_ff=False, bias_attn=False,
         subcodes_context=5, segment_duration=int(DURATION),
         compression_model_framerate=FRAME_RATE, dtype=jnp.bfloat16)
-    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    params = init_lm_params(model, jax.random.PRNGKey(0), seq_len=4,
+                            param_dtype=jnp.bfloat16)
     MB = 32  # throughput saturates here (16: 19.6, 32: 21.2, 64: 20.2)
     cond = (jax.random.normal(jax.random.PRNGKey(3), (2 * MB, 12, 1024),
                               jnp.bfloat16),
@@ -807,7 +816,10 @@ PARTS = [
     ("train", bench_train_part, 420.0, {}),
     ("train30", bench_train30_part, 600.0, {}),
     ("encodec", bench_encodec_rtf, 540.0, {}),
-    ("audiogen", bench_audiogen, 420.0, {}),
+    # audiogen cold wall measured 538 s standalone (2026-08-19): ~450 s is
+    # host-side param init/tracing for the medium model, which no compile
+    # cache shortens — 420 s could never land it
+    ("audiogen", bench_audiogen, 720.0, {}),
     ("melody", bench_melody, 420.0, {}),
     ("magnet", bench_magnet, 960.0, {}),
     ("lat_ttfa", bench_lat_ttfa, 300.0, _ONE_BUCKET),
@@ -1019,5 +1031,6 @@ if __name__ == "__main__":
         else:
             fn = {name: fn for name, fn, _cap, _env in PARTS}[args.part]
             out = fn()
-        out[f"{args.part}_tel"] = _tel_snapshot()
+        out[f"{args.part}_tel"] = dict(
+            _tel_snapshot(), wall_sec=round(time.time() - _PROC_T0, 1))
         print(json.dumps(out), flush=True)
