@@ -29,7 +29,7 @@ def _fake_child(body: str):
 def test_silent_child_killed_as_init_stall(monkeypatch):
     # Child prints nothing (stuck in TPU client init): killed at the init
     # window, NOT at the much larger part cap, and classified _InitStall.
-    monkeypatch.setattr(bench, "INIT_WINDOW_SEC", 1.5)
+    monkeypatch.setattr(bench, "INIT_WINDOW_SEC", 3.0)
     monkeypatch.setattr(bench, "_PART_CMD",
                         _fake_child("import time; time.sleep(60)"))
     with pytest.raises(bench._InitStall):
@@ -40,13 +40,16 @@ def test_marked_child_gets_full_cap_then_timeout(monkeypatch):
     # Child that HAS printed a marker (i.e. is compiling/running) is given
     # the full cap; on overrun the TimeoutExpired carries partial stdout so
     # the parent records tel_at_kill.
-    monkeypatch.setattr(bench, "INIT_WINDOW_SEC", 1.0)
-    body = ("import time, json\n"
+    # Init window chosen >> child interpreter startup (which can exceed 1 s
+    # under parallel-suite load) but << the part timeout, so the marker is
+    # always seen before the window closes.
+    monkeypatch.setattr(bench, "INIT_WINDOW_SEC", 6.0)
+    body = ("import json\n"
             "print(json.dumps({'_tel': {'stage': 'jax_ready'}}), flush=True)\n"
-            "time.sleep(60)\n")
+            "import time; time.sleep(60)\n")
     monkeypatch.setattr(bench, "_PART_CMD", _fake_child(body))
     with pytest.raises(subprocess.TimeoutExpired) as ei:
-        bench._run_part_subprocess("fake", timeout=3.0)
+        bench._run_part_subprocess("fake", timeout=8.0)
     tel = bench._partial_tel(ei.value.stdout)
     assert tel is not None and tel["stage"] == "jax_ready"
 
