@@ -1,29 +1,27 @@
 #!/bin/bash
-# Warm the persistent XLA compile cache (.jax_cache) for every bench part.
-#
-# Run this AFTER the last code change that touches traced model code and
-# BEFORE the driver's bench window: any commit that changes transformer/LM
-# tracing invalidates the cache keys for the big decode/train programs, and
-# a bench part killed mid-compile leaves nothing in the cache (entries are
-# written only when a compile completes). One full standalone pass per part
-# makes the driver-window run all-warm: measured 2026-08-19, e.g. melody
-# 396 s cold -> well under its cap warm, magnet 438 s cold (359 s compile)
-# -> seconds of compile warm.
-#
-# Parts run sequentially (one TPU client at a time), each under a generous
-# timeout; per-part env must match bench.py PARTS (_ONE_BUCKET parts pin
-# the KV growth schedule, which changes the compiled scan).
-set -u
-cd "$(dirname "$0")/.."
-declare -A ENVV
-ENVV[lat_b1]="AUDIOCRAFT_CACHE_GROWTH_FRACS=1.0"
-ENVV[lat_w8a8]="AUDIOCRAFT_CACHE_GROWTH_FRACS=1.0"
-ENVV[lat_ttfa]="AUDIOCRAFT_CACHE_GROWTH_FRACS=1.0"
-PARTS="${1:-headline lat_b1 lat_w8a8 train train30 encodec audiogen melody magnet lat_ttfa lat_b8 lat_magnet train30_remat}"
-for p in $PARTS; do
-  echo "=== PART $p start $(date +%T) ==="
-  env ${ENVV[$p]:-} timeout "${WARM_PART_TIMEOUT:-1500}" \
-    python bench.py --part "$p" 2>&1 | tail -3
-  echo "=== PART $p exit=$? $(date +%T) ==="
-done
-echo ALL_DONE
+# Pre-warm the persistent XLA compile cache (.jax_cache) by running every
+# bench part against the current code, in the driver's priority order.
+# Run after any code freeze so the driver's bench window sees warm compiles
+# (README "Provenance" paragraph). Results + telemetry land in the log.
+cd /root/repo
+LOG=${1:-/tmp/warm_bench.log}
+: > "$LOG"
+run() {  # run <part> <timeout_sec> [env KEY=V ...]
+  local part=$1 cap=$2; shift 2
+  echo "=== $part ($(date +%H:%M:%S)) ===" >> "$LOG"
+  env "$@" timeout "$cap" python bench.py --part "$part" 2>&1 \
+    | grep -v '"_tel"' | tail -1 >> "$LOG"
+}
+ONEB=AUDIOCRAFT_CACHE_GROWTH_FRACS=1.0
+run lat_w8a8 800 $ONEB
+run train 600
+run train30 800
+run encodec 700
+run audiogen 900
+run melody 600
+run magnet 1100
+run lat_ttfa 600 $ONEB
+run lat_b8 600
+run lat_magnet 700
+run train30_remat 500
+echo "=== ALL DONE ($(date +%H:%M:%S)) ===" >> "$LOG"
